@@ -1,0 +1,424 @@
+"""Deterministic synthetic fixtures.
+
+Two generators:
+
+1. :func:`make_world` — a small, pure-Python "Wikidata world" (entities,
+   statements, labels, closures, external ids, interleaved documents) used
+   by tests and the P/R golden comparison. Replaces the reference's SPARQL
+   endpoint (authors.py:27) with broadcastable dimension tables
+   (FIXTURES.md §2). Seed-deterministic; no wall-clock entropy.
+
+2. :func:`interleaved_corpus` — a *distributed* corpus generator: derives an
+   interleaved-document table ``(doc_id, spans: array<struct<kind, text,
+   media_ref, offset>>)`` (BASELINE.json input_hint) from the driver's
+   ``documents`` parquet at any scale factor, injecting entity mentions
+   chosen by ``xxhash64`` so linking has exact ground truth. Entirely
+   column-expression based — scales linearly, no driver loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("media_ref", T.StringType(), True),
+            T.StructField("offset", T.IntegerType(), False),
+        ]
+    )
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", SPAN_SCHEMA, False),
+    ]
+)
+
+STATEMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("subject_qid", T.StringType(), False),
+        T.StructField("pid", T.StringType(), False),
+        T.StructField("object_value", T.StringType(), False),
+        T.StructField("object_is_entity", T.BooleanType(), False),
+        T.StructField("object_lang", T.StringType(), True),
+    ]
+)
+
+LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+    ]
+)
+
+ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("label_en", T.StringType(), False),
+        T.StructField("label_de", T.StringType(), True),
+        T.StructField("aliases", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+# class QIDs used by relations.py type-closure checks (relations.py:369,420,517,571,705-706)
+Q_HUMAN = "Q5"
+Q_GEO = "Q2221906"
+Q_STOFF = "Q42109240"
+Q_TOPIC_CLASS = "Q26256810"
+Q_CHARACTER = "Q3658341"
+Q_FICTIONAL_HUMAN = "Q15632617"
+Q_FEMALE, Q_MALE = "Q6581072", "Q6581097"
+
+_FIRST = ["Aline", "Berta", "Clara", "Doris", "Edith", "Frieda", "Greta",
+          "Hilde", "Ilse", "Johanna", "Karla", "Luise", "Martha", "Nora",
+          "Olga", "Paula", "Rosa", "Selma", "Thea", "Ursula"]
+_LAST = ["Arnim", "Brentano", "Droste", "Ebner", "Fleisser", "Guenderrode",
+         "Hahn", "Huch", "Keller", "Lasker", "Mereau", "Naubert", "Otto",
+         "Reventlow", "Schlegel", "Tarnow", "Varnhagen", "Wolzogen"]
+_WORK_WORDS = ["Sappho", "Phaon", "Lesbos", "Hymnen", "Oden", "Lieder",
+               "Fragmente", "Gedichte", "Briefe", "Elegien", "Sonette",
+               "Gesaenge", "Balladen", "Idyllen"]
+_PLACE_WORDS = ["Mytilene", "Eresos", "Weimar", "Jena", "Berlin", "Wien",
+                "Leipzig", "Dresden", "Heidelberg", "Zuerich"]
+
+
+@dataclass
+class World:
+    """Pure-Python fixture world; all lists are deterministic in ``seed``."""
+
+    persons: list[dict] = field(default_factory=list)
+    works: list[dict] = field(default_factory=list)
+    places: list[dict] = field(default_factory=list)
+    features: list[dict] = field(default_factory=list)  # plots/topics/motifs/characters
+    entities: list[dict] = field(default_factory=list)  # union view for linking
+    statements: list[tuple] = field(default_factory=list)
+    labels: list[tuple] = field(default_factory=list)
+    subclass_closure: list[tuple] = field(default_factory=list)
+    property_closure: list[tuple] = field(default_factory=list)
+    external_ids: list[tuple] = field(default_factory=list)
+    documents: list[tuple] = field(default_factory=list)  # (doc_id, [span dicts])
+    mention_truth: list[tuple] = field(default_factory=list)  # (doc_id, offset, qid)
+
+
+def _date(rng: random.Random, base_year: int) -> str:
+    y = base_year + rng.randrange(0, 120)
+    m = rng.randrange(1, 13)
+    d = rng.randrange(1, 29)
+    return f"{y:04d}-{m:02d}-{d:02d}T00:00:00Z"
+
+
+def make_world(
+    n_persons: int = 40,
+    n_works: int = 30,
+    n_places: int = 12,
+    n_features: int = 12,
+    n_docs: int = 120,
+    seed: int = 42,
+) -> World:
+    rng = random.Random(seed)
+    w = World()
+
+    # places
+    for j in range(n_places):
+        qid = f"Q{30000 + j}"
+        label = f"{_PLACE_WORDS[j % len(_PLACE_WORDS)]} {j // len(_PLACE_WORDS) or ''}".strip()
+        w.places.append({"qid": qid, "label": label})
+        w.labels.append((qid, "en", label))
+        w.statements.append((qid, "P31", Q_GEO, True, None))
+
+    # genders (fixed QIDs, like Wikidata)
+    w.labels.append((Q_FEMALE, "en", "female"))
+    w.labels.append((Q_MALE, "en", "male"))
+
+    # persons — attribute layout mirrors the authors SPARQL optionals
+    # (authors.py:190-198): P21 gender, P19/P20 places, P569/P570 dates, P18 image
+    for i in range(n_persons):
+        qid = f"Q{10000 + i}"
+        label = f"{_FIRST[i % len(_FIRST)]} {_LAST[(i * 7) % len(_LAST)]}"
+        if i >= len(_FIRST) * 2:
+            label = f"{label} {i}"
+        p = {
+            "qid": qid, "label": label,
+            "gender": Q_FEMALE if i % 3 else Q_MALE,
+            "birth_date": _date(rng, 1700) if i % 5 != 4 else None,
+            "death_date": _date(rng, 1760) if i % 4 != 3 else None,
+            "birth_place": w.places[i % n_places]["qid"] if i % 6 != 5 else None,
+            "death_place": w.places[(i * 3) % n_places]["qid"] if i % 7 != 6 else None,
+            "image": f"http://commons.example.org/img/{qid}.jpg" if i % 2 == 0 else None,
+        }
+        w.persons.append(p)
+        w.labels.append((qid, "en", label))
+        if i % 2 == 0:
+            w.labels.append((qid, "de", label))
+        w.statements.append((qid, "P31", "Q5", True, None))
+        w.statements.append((qid, "P21", p["gender"], True, None))
+        for pid, key in [("P569", "birth_date"), ("P570", "death_date")]:
+            if p[key]:
+                w.statements.append((qid, pid, p[key], False, None))
+        for pid, key in [("P19", "birth_place"), ("P20", "death_place")]:
+            if p[key]:
+                w.statements.append((qid, pid, p[key], True, None))
+        if p["image"]:
+            w.statements.append((qid, "P18", p["image"], False, None))
+        w.external_ids.append((qid, "gnd", f"11{i:06d}X"))
+        if i % 2 == 0:
+            w.external_ids.append((qid, "viaf", f"{500000 + i}"))
+
+    # features (for relations): plots, topics, motifs, characters
+    kinds = ["plot", "topic", "motif", "character"]
+    for k in range(n_features):
+        kind = kinds[k % 4]
+        qid = f"Q{50000 + k}"
+        label = f"{kind.capitalize()} {_WORK_WORDS[k % len(_WORK_WORDS)]}"
+        w.features.append({"qid": qid, "kind": kind, "label": label})
+        w.labels.append((qid, "en", label))
+        cls = {"plot": Q_STOFF, "topic": Q_TOPIC_CLASS,
+               "motif": Q_STOFF, "character": Q_CHARACTER}[kind]
+        w.statements.append((qid, "P31", cls, True, None))
+
+    # works — attribute layout mirrors works.py:249-283 optionals
+    for i in range(n_works):
+        qid = f"Q{20000 + i}"
+        author = w.persons[i % n_persons]
+        title_en = f"{_WORK_WORDS[i % len(_WORK_WORDS)]} Cycle {i}"
+        title_de = f"{_WORK_WORDS[(i + 3) % len(_WORK_WORDS)]} Zyklus {i}" if i % 2 == 0 else None
+        pub = _date(rng, 1780) if i % 4 != 3 else None
+        creation = _date(rng, 1775) if i % 3 != 2 else None
+        wk = {
+            "qid": qid, "title_en": title_en, "title_de": title_de,
+            "author": author["qid"], "pub_date": pub, "creation_date": creation,
+            "genre": f"Q{60000 + (i % 4)}",
+            "pub_place": w.places[(i * 5) % n_places]["qid"] if i % 5 != 4 else None,
+        }
+        w.works.append(wk)
+        w.labels.append((qid, "en", title_en))
+        w.statements.append((qid, "P1476", title_en, False, "en"))
+        if title_de:
+            w.statements.append((qid, "P1476", title_de, False, "de"))
+        w.statements.append((qid, "P50", author["qid"], True, None))
+        if pub:
+            w.statements.append((qid, "P577", pub, False, None))
+        if creation:
+            w.statements.append((qid, "P571", creation, False, None))
+        w.statements.append((qid, "P136", wk["genre"], True, None))
+        if wk["pub_place"]:
+            w.statements.append((qid, "P291", wk["pub_place"], True, None))
+        # relations edges: share features to create pair-joins (relations.py:393)
+        feat = w.features[i % n_features]
+        pid = {"plot": "P921", "topic": "P921", "motif": "P6962",
+               "character": "P674"}[feat["kind"]]
+        w.statements.append((qid, pid, feat["qid"], True, None))
+        if i % 3 == 0:
+            feat2 = w.features[(i + 4) % n_features]
+            pid2 = {"plot": "P921", "topic": "P921", "motif": "P6962",
+                    "character": "P674"}[feat2["kind"]]
+            w.statements.append((qid, pid2, feat2["qid"], True, None))
+        # direct intertextual links (relations.py:302-330): P4969 forward, P144 reversed
+        if i % 5 == 1:
+            w.statements.append((qid, "P4969", w.works[(i * 2) % max(i, 1)]["qid"], True, None)) if i > 1 else None
+        if i % 7 == 2 and i > 0:
+            w.statements.append((qid, "P144", w.works[i - 1]["qid"], True, None))
+
+    for g in range(4):
+        w.labels.append((f"Q{60000 + g}", "en", f"Genre {g}"))
+
+    # closures
+    for cls in [Q_HUMAN, Q_GEO, Q_STOFF, Q_TOPIC_CLASS, Q_CHARACTER, Q_FICTIONAL_HUMAN]:
+        w.subclass_closure.append((cls, cls))
+    w.subclass_closure.append((Q_FICTIONAL_HUMAN, Q_CHARACTER))
+    for pid in ["P4969", "P144", "P5059", "P941", "P921", "P180", "P527",
+                "P674", "P6962", "P2860", "P6166", "P19", "P20", "P21",
+                "P569", "P570", "P18", "P1476", "P50", "P577", "P571",
+                "P136", "P291"]:
+        w.property_closure.append((pid, pid))
+    w.property_closure.append(("P8371", "P2860"))  # a subproperty example
+
+    # entity dictionary for linking
+    for p in w.persons:
+        w.entities.append({"qid": p["qid"], "kind": "person",
+                           "label_en": p["label"], "label_de": None,
+                           "aliases": [p["label"].split(" ")[1]] if " " in p["label"] else []})
+    for wk in w.works:
+        w.entities.append({"qid": wk["qid"], "kind": "work",
+                           "label_en": wk["title_en"], "label_de": wk["title_de"],
+                           "aliases": []})
+
+    # interleaved documents with known mentions; head-entity skew on persons[0]
+    head = w.persons[0]
+    filler = ["The archive notes that", "Critics later wrote that",
+              "A letter mentions that", "The catalogue records that"]
+    for d in range(n_docs):
+        doc_id = f"doc{d:05d}"
+        spans = []
+        offset = 0
+        n_mentions = 1 + rng.randrange(0, 3)
+        mentioned = []
+        if rng.random() < 0.25:
+            mentioned.append(head)
+        while len(mentioned) < n_mentions:
+            pool = w.persons if rng.random() < 0.7 else w.works
+            e = pool[rng.randrange(0, len(pool))]
+            mentioned.append(e)
+        for e in mentioned:
+            label = e.get("label") or e.get("title_en")
+            text = f"{filler[rng.randrange(0, len(filler))]} {label} shaped the tradition."
+            spans.append({"kind": "text", "text": text, "media_ref": "", "offset": offset})
+            w.mention_truth.append((doc_id, offset, e["qid"]))
+            offset += 1
+            if rng.random() < 0.3:
+                spans.append({"kind": "media", "text": "",
+                              "media_ref": f"media://{doc_id}/{offset}", "offset": offset})
+                offset += 1
+        w.documents.append((doc_id, spans))
+    return w
+
+
+def world_to_spark(spark: SparkSession, w: World) -> dict[str, DataFrame]:
+    """Materialize the world as Spark DataFrames (the broadcast dimensions)."""
+    docs = spark.createDataFrame(
+        [(d, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+         for d, spans in w.documents],
+        DOC_SCHEMA,
+    )
+    ents = spark.createDataFrame(
+        [(e["qid"], e["kind"], e["label_en"], e["label_de"], e["aliases"])
+         for e in w.entities],
+        ENTITY_SCHEMA,
+    )
+    return {
+        "documents_interleaved": docs,
+        "wd_entities": ents,
+        "wd_statements": spark.createDataFrame(w.statements, STATEMENT_SCHEMA),
+        "wd_labels": spark.createDataFrame(w.labels, LABEL_SCHEMA),
+        "wd_subclass_closure": spark.createDataFrame(
+            w.subclass_closure, "qid string, ancestor string"),
+        "wd_property_closure": spark.createDataFrame(
+            w.property_closure, "pid string, base_pid string"),
+        "wd_external_ids": spark.createDataFrame(
+            w.external_ids, "qid string, id_type string, value string"),
+    }
+
+
+def interleaved_corpus(
+    spark: SparkSession,
+    documents_parquet: str,
+    entities: DataFrame,
+    mentions_per_doc: int = 3,
+    media_every: int = 3,
+) -> DataFrame:
+    """Distributed interleaved-corpus generator (scales with the input).
+
+    Wraps each driver ``documents`` row into an interleaved span array:
+    its text is chunked into text spans, ``mentions_per_doc`` extra text
+    spans embed entity labels chosen by ``xxhash64(doc_id, i)`` (exact,
+    reproducible linking ground truth), and every ``media_every``-th doc
+    gets a media span. 100% column expressions + one broadcast join on the
+    (dimension-sized) entity dictionary — at 10^12 docs this is a single
+    map-side stage, no shuffle except the final per-doc regroup, which we
+    avoid entirely by building the span array inside one projection.
+    """
+    n_ent = entities.count()
+    ent_idx = entities.select(
+        F.col("qid"), F.col("label_en"),
+        (F.abs(F.xxhash64("qid")) % F.lit(2**31)).alias("_h"),
+    )
+    # deterministic dense index for modulo selection
+    from pyspark.sql import Window
+
+    ent_idx = ent_idx.withColumn(
+        "ent_idx",
+        F.row_number().over(Window.orderBy("qid")) - 1,
+    ).select("ent_idx", "qid", "label_en")
+
+    docs = spark.read.parquet(documents_parquet).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    # mention selectors: explode a small index range, pick entity by hash
+    m = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(mentions_per_doc - 1))).alias("i"),
+    ).withColumn("ent_idx", F.abs(F.xxhash64("doc_id", "i")) % F.lit(n_ent))
+    m = m.join(F.broadcast(ent_idx), "ent_idx")
+    mention_spans = m.select(
+        "doc_id",
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(F.lit("In this passage "), F.col("label_en"),
+                     F.lit(" is discussed at length.")).alias("text"),
+            F.lit("").alias("media_ref"),
+            (F.col("i") * 2 + 1).alias("offset"),
+        ).alias("span"),
+        F.col("qid").alias("truth_qid"),
+        (F.col("i") * 2 + 1).alias("truth_offset"),
+    )
+    base_spans = docs.select(
+        "doc_id",
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.substring("text", 1, 400).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ).alias("span"),
+        F.lit(None).cast("string").alias("truth_qid"),
+        F.lit(None).cast("int").alias("truth_offset"),
+    )
+    media_spans = docs.filter(F.abs(F.xxhash64("doc_id")) % media_every == 0).select(
+        "doc_id",
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("media://"), "doc_id", F.lit("/art")).alias("media_ref"),
+            F.lit(2 * mentions_per_doc + 1).alias("offset"),
+        ).alias("span"),
+        F.lit(None).cast("string").alias("truth_qid"),
+        F.lit(None).cast("int").alias("truth_offset"),
+    )
+    all_spans = base_spans.unionByName(mention_spans).unionByName(media_spans)
+    corpus = (
+        all_spans.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("span")).alias("spans_raw"),
+            F.collect_list(
+                F.when(F.col("truth_qid").isNotNull(),
+                       F.struct("truth_offset", "truth_qid"))
+            ).alias("truth"),
+        )
+        # order spans by their offset (struct-default array_sort would sort
+        # by kind first); offsets stay sparse — the invariant requires
+        # 0-based strictly-increasing, not dense, and sparse keeps the
+        # mention ground-truth offsets valid
+        .withColumn(
+            "spans_sorted",
+            F.array_sort(
+                "spans_raw",
+                lambda a, b: F.when(a.offset < b.offset, -1)
+                .when(a.offset > b.offset, 1)
+                .otherwise(0),
+            ),
+        )
+        .withColumn(
+            "spans",
+            F.transform(
+                "spans_sorted",
+                lambda s: F.struct(
+                    s.kind.alias("kind"),
+                    s.text.alias("text"),
+                    s.media_ref.alias("media_ref"),
+                    s.offset.cast("int").alias("offset"),
+                ),
+            ),
+        )
+        .select("doc_id", "spans", "truth")
+    )
+    return corpus
