@@ -187,7 +187,16 @@ def make_world(
                "motif": Q_STOFF, "character": Q_CHARACTER}[kind]
         w.statements.append((qid, "P31", cls, True, None))
 
-    # works — attribute layout mirrors works.py:249-283 optionals
+    # publishers (E74 Group, works.py:481-490)
+    publishers = []
+    for j in range(5):
+        pqid = f"Q{70000 + j}"
+        publishers.append(pqid)
+        w.labels.append((pqid, "en", f"Verlag Press {j}"))
+
+    # works — attribute layout mirrors the works SPARQL optionals
+    # (works.py:251-269): P1476 de/en, P136, P50, P577, P291, P123, P953,
+    # P98, P1433, P361, P571 ∪ P2754
     for i in range(n_works):
         qid = f"Q{20000 + i}"
         author = w.persons[i % n_persons]
@@ -200,9 +209,16 @@ def make_world(
             "author": author["qid"], "pub_date": pub, "creation_date": creation,
             "genre": f"Q{60000 + (i % 4)}",
             "pub_place": w.places[(i * 5) % n_places]["qid"] if i % 5 != 4 else None,
+            "publisher": publishers[i % 5] if i % 3 != 1 else None,
+            "digital_copy": f"http://digital.example.org/{qid}" if i % 2 == 0 else None,
+            "editor": w.persons[(i + 9) % n_persons]["qid"] if i % 6 == 0 else None,
+            "published_in": f"Q{20000 + ((i + 2) % n_works)}" if i % 8 == 2 else None,
+            "part_of": f"Q{20000 + ((i + 4) % n_works)}" if i % 8 == 5 else None,
         }
         w.works.append(wk)
         w.labels.append((qid, "en", title_en))
+        if title_de:
+            w.labels.append((qid, "de", title_de))
         w.statements.append((qid, "P1476", title_en, False, "en"))
         if title_de:
             w.statements.append((qid, "P1476", title_de, False, "de"))
@@ -210,10 +226,21 @@ def make_world(
         if pub:
             w.statements.append((qid, "P577", pub, False, None))
         if creation:
-            w.statements.append((qid, "P571", creation, False, None))
+            pid_c = "P571" if i % 2 == 0 else "P2754"
+            w.statements.append((qid, pid_c, creation, False, None))
         w.statements.append((qid, "P136", wk["genre"], True, None))
         if wk["pub_place"]:
             w.statements.append((qid, "P291", wk["pub_place"], True, None))
+        if wk["publisher"]:
+            w.statements.append((qid, "P123", wk["publisher"], True, None))
+        if wk["digital_copy"]:
+            w.statements.append((qid, "P953", wk["digital_copy"], False, None))
+        if wk["editor"]:
+            w.statements.append((qid, "P98", wk["editor"], True, None))
+        if wk["published_in"]:
+            w.statements.append((qid, "P1433", wk["published_in"], True, None))
+        if wk["part_of"]:
+            w.statements.append((qid, "P361", wk["part_of"], True, None))
         # relations edges: share features to create pair-joins (relations.py:393)
         feat = w.features[i % n_features]
         pid = {"plot": "P921", "topic": "P921", "motif": "P6962",

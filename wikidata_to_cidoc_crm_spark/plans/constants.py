@@ -68,11 +68,21 @@ def authors_header(spark: SparkSession) -> DataFrame:
     return const_triples(spark, triples)
 
 
-# works.py:159-231 — WEMI classes + LRMoo/FRBRoo equivalences (subset shared
-# with authors plus the work-specific ones)
+# works.py:160-233 — ontology node, eCRM↔CRM class/property equivalences,
+# LRMoo↔FRBRoo/eFRBRoo class equivalences, LRMoo property inverse/equiv axioms
 WORK_ECRM_CLASSES = [
     "E21_Person", "E35_Title", "E42_Identifier", "E52_Time-Span",
-    "E53_Place", "E55_Type", "E62_String", "E65_Creation",
+    "E53_Place", "E55_Type", "E73_Information_Object", "E74_Group",
+]
+WORK_ECRM_PROPS = [
+    ("P1_is_identified_by", "P1i_identifies"),
+    ("P2_has_type", "P2i_is_type_of"),
+    ("P4_has_time-span", "P4i_is_time-span_of"),
+    ("P7_took_place_at", "P7i_witnessed"),
+    ("P14_carried_out_by", "P14i_performed"),
+    ("P102_has_title", "P102i_is_title_of"),
+    ("P138_represents", "P138i_has_representation"),
+    ("P190_has_symbolic_content", "P190i_is_content_of"),
 ]
 WORK_LRMOO_CLASSES = [
     ("F1_Work", "F1_Work"),
@@ -84,29 +94,27 @@ WORK_LRMOO_CLASSES = [
     ("F30_Manifestation_Creation", "F30_Publication_Event"),
     ("F32_Item_Production_Event", "F32_Carrier_Production_Event"),
 ]
-WORK_ECRM_PROPS = [
-    ("P1_is_identified_by", "P1i_identifies"),
-    ("P2_has_type", "P2i_is_type_of"),
-    ("P4_has_time-span", "P4i_is_time-span_of"),
-    ("P7_took_place_at", "P7i_witnessed"),
-    ("P14_carried_out_by", "P14i_performed"),
-    ("P102_has_title", "P102i_is_title_of"),
-    ("P108_has_produced", "P108i_was_produced_by"),
-    ("P128_carries", "P128i_is_carried_by"),
-    ("P190_has_symbolic_content", None),
-]
+# (lrm_direct, lrm_inverse, frbr_direct, frbr_inverse) — works.py:216-226
 WORK_LRMOO_PROPS = [
-    ("R3_is_realised_in", "R3i_realises"),
-    ("R4_embodies", "R4i_is_embodied_in"),
-    ("R7_is_materialized_in", "R7i_materializes"),
-    ("R16_created", "R16i_was_created_by"),
-    ("R17_created", "R17i_was_created_by"),
-    ("R19_created_a_realisation_of", "R19i_was_realised_through"),
-    ("R24_created", "R24i_was_created_through"),
+    ("R3_is_realised_in", "R3i_realises", "R3_is_realised_in", "R3i_realises"),
+    ("R4_embodies", "R4i_is_embodied_in", "R4i_comprises_carriers_of", "R4_carriers_provided_by"),
+    ("R7_exemplifies", "R7i_is_exemplified_by", "R7_is_example_of", "R7i_has_example"),
+    ("R16_created", "R16i_was_created_by", "R16_initiated", "R16i_was_initiated_by"),
+    ("R17_created", "R17i_was_created_by", "R17_created", "R17i_was_created_by"),
+    ("R19_created_a_realisation_of", "R19i_was_realised_through",
+     "R19_created_a_realisation_of", "R19i_was_realised_through"),
+    ("R24_created", "R24i_was_created_through", "R24_created", "R24i_was_created_through"),
+    ("R27_materialized", "R27i_was_materialized_by",
+     "R27_used_as_source_material", "R27i_was_used_by"),
+    ("R28_produced", "R28i_was_produced_by", "R28_produced", "R28i_was_produced_by"),
 ]
 
 
 def works_header(spark: SparkSession) -> DataFrame:
+    return const_triples(spark, works_header_triples())
+
+
+def works_header_triples() -> list[tuple]:
     onto = SAPPHO + "ontology/works"
     triples = [
         (onto, RDF_TYPE, OWL_ONTOLOGY),
@@ -115,19 +123,22 @@ def works_header(spark: SparkSession) -> DataFrame:
     ]
     for cls in WORK_ECRM_CLASSES:
         triples.append((ECRM + cls, OWL_EQ_CLASS, CRM + cls))
+    for direct, inverse in WORK_ECRM_PROPS:
+        triples.append((ECRM + direct, OWL_INVERSE, ECRM + inverse))
+        triples.append((ECRM + direct, OWL_EQ_PROP, CRM + direct))
+        triples.append((ECRM + inverse, OWL_INVERSE, ECRM + direct))
+        triples.append((ECRM + inverse, OWL_EQ_PROP, CRM + inverse))
     for lrm, frbr in WORK_LRMOO_CLASSES:
         triples.append((LRMOO + lrm, OWL_EQ_CLASS, FRBROO + frbr))
         triples.append((LRMOO + lrm, OWL_EQ_CLASS, EFRBROO + frbr))
-    for direct, inverse in WORK_ECRM_PROPS:
-        triples.append((ECRM + direct, OWL_EQ_PROP, CRM + direct))
-        if inverse:
-            triples.append((ECRM + direct, OWL_INVERSE, ECRM + inverse))
-            triples.append((ECRM + inverse, OWL_INVERSE, ECRM + direct))
-            triples.append((ECRM + inverse, OWL_EQ_PROP, CRM + inverse))
-    for direct, inverse in WORK_LRMOO_PROPS:
-        triples.append((LRMOO + direct, OWL_INVERSE, LRMOO + inverse))
-        triples.append((LRMOO + inverse, OWL_INVERSE, LRMOO + direct))
-    return const_triples(spark, triples)
+    for lr_d, lr_i, fr_d, fr_i in WORK_LRMOO_PROPS:
+        triples.append((LRMOO + lr_d, OWL_INVERSE, LRMOO + lr_i))
+        triples.append((LRMOO + lr_i, OWL_INVERSE, LRMOO + lr_d))
+        triples.append((LRMOO + lr_d, OWL_EQ_PROP, FRBROO + fr_d))
+        triples.append((LRMOO + lr_d, OWL_EQ_PROP, EFRBROO + fr_d))
+        triples.append((LRMOO + lr_i, OWL_EQ_PROP, FRBROO + fr_i))
+        triples.append((LRMOO + lr_i, OWL_EQ_PROP, EFRBROO + fr_i))
+    return triples
 
 
 def relations_header(spark: SparkSession) -> DataFrame:
