@@ -186,6 +186,9 @@ def make_world(
         cls = {"plot": Q_STOFF, "topic": Q_TOPIC_CLASS,
                "motif": Q_STOFF, "character": Q_CHARACTER}[kind]
         w.statements.append((qid, "P31", cls, True, None))
+        # some characters are real persons too (relations.py:723-731 is_person)
+        if kind == "character" and k % 8 == 3:
+            w.statements.append((qid, "P31", Q_HUMAN, True, None))
 
     # publishers (E74 Group, works.py:481-490)
     publishers = []
@@ -251,11 +254,31 @@ def make_world(
             pid2 = {"plot": "P921", "topic": "P921", "motif": "P6962",
                     "character": "P674"}[feat2["kind"]]
             w.statements.append((qid, pid2, feat2["qid"], True, None))
+        # person/place references shared across works (relations.py:505-614):
+        # small modulus → several works share each referenced person/place
+        if i % 4 == 0:
+            w.statements.append(
+                (qid, "P921", w.persons[(i % 12) // 4]["qid"], True, None))
+        if i % 4 == 1:
+            w.statements.append(
+                (qid, "P921", w.places[(i % 12) // 4]["qid"], True, None))
+        # work→work references (relations.py:616-669): P921 to another work
+        if i % 10 == 3:
+            w.statements.append(
+                (qid, "P921", f"Q{20000 + ((i + 5) % n_works)}", True, None))
         # direct intertextual links (relations.py:302-330): P4969 forward, P144 reversed
-        if i % 5 == 1:
-            w.statements.append((qid, "P4969", w.works[(i * 2) % max(i, 1)]["qid"], True, None)) if i > 1 else None
+        if i % 5 == 1 and i > 1:
+            w.statements.append((qid, "P4969", w.works[0]["qid"], True, None))
         if i % 7 == 2 and i > 0:
             w.statements.append((qid, "P144", w.works[i - 1]["qid"], True, None))
+        # citations (relations.py:765-818): this work cites another (P2860) or
+        # via the P8371 subproperty (exercises the P1647* closure join)
+        if i % 6 == 4:
+            w.statements.append(
+                (qid, "P2860", f"Q{20000 + ((i + 3) % n_works)}", True, None))
+        if i % 9 == 5:
+            w.statements.append(
+                (qid, "P8371", f"Q{20000 + ((i + 2) % n_works)}", True, None))
 
     for g in range(4):
         w.labels.append((f"Q{60000 + g}", "en", f"Genre {g}"))

@@ -1,0 +1,66 @@
+"""Connected components — entity canonicalization (north rule; SURVEY §4.3).
+
+Alternating large-star/small-star style fixpoint implemented directly on
+DataFrames (no GraphFrames dependency): each node converges to the minimum
+node id reachable from it. Used by the canonicalization stage to merge
+duplicate-entity candidate pairs (MinHash-LSH output) into clusters.
+
+Scale notes: each iteration is one shuffle on the node id; iteration count
+is O(log(diameter)) thanks to min-propagation through both edge directions.
+``localCheckpoint`` truncates lineage so plans do not grow across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """edges(src, dst) → (node, component) with component = min node id.
+
+    Node ids are compared as-is (strings compare lexicographically —
+    fine for canonicalization where any stable representative works).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"), F.least("a", "mb").alias("comp"))
+    ).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # propagate: node's comp = min(own comp, neighbors' comps)
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("a", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))

