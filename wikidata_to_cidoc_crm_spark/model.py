@@ -33,6 +33,9 @@ from pyspark.sql import types as T
 CRM = "http://www.cidoc-crm.org/cidoc-crm/"
 ECRM = "http://erlangen-crm.org/current/"
 LRMOO = "http://iflastandards.info/ns/lrm/lrmoo/"
+# owl:imports target used by the reference's ontology headers
+# (works.py:38, relations.py:41, merge.py:21)
+LRMOO_ONTO = "https://cidoc-crm.org/extensions/lrmoo/owl/1.0/LRMoo_v1.0.owl"
 FRBROO = "http://iflastandards.info/ns/fr/frbr/frbroo/"
 EFRBROO = "http://erlangen-crm.org/efrbroo/"
 INTRO = "https://w3id.org/lso/intro/currentbeta#"

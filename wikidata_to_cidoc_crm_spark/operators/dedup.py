@@ -202,18 +202,18 @@ def minhash_lsh_dedup(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 64) -> DataFrame:
-    """(id, simhash) 64-bit SimHash over tokens, via bit-vote aggregation.
+    """(id, bits: array<int>) SimHash over tokens, via bit-vote aggregation.
 
     Per token: h = xxhash64(token); per bit b: vote +1 if set else -1;
-    fingerprint bit = sign of the vote sum. Explode 64 bits per token is
-    wasteful at scale; instead aggregate per-bit sums with a vector of
-    shifted masks inside one ``transform`` + element-wise array sum.
+    fingerprint bit = sign of the vote sum. The fingerprint is kept as a
+    bit array (JVM-friendly; packing to int64 needs no per-bit shifts in
+    any downstream op — hamming and chunking both work on the array).
     """
     toks = token_sets(docs, id_col, text_col)
     toks = toks.withColumn("h", F.xxhash64("token"))
     bitvec = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        lambda b: F.when(F.getbit("h", b) == 1, 1).otherwise(-1),
     )
     votes = (
         toks.select("id", bitvec.alias("v"))
@@ -226,38 +226,30 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             ).alias("votes")
         )
     )
-    fingerprint = F.aggregate(
-        F.zip_with(
-            F.col("votes"),
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    return votes.select(
+        "id",
+        F.transform("votes", lambda v: F.when(v > 0, 1).otherwise(0)).alias("bits"),
     )
-    return votes.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
-    (a pair within hamming ≤ 3·chunks must agree on ≥1 chunk)."""
+    (a pair within hamming ≤ 3·chunks must agree on ≥1 chunk — pigeonhole)."""
     sh = simhash(docs, id_col, text_col).cache()
     chunks = sh.select(
-        "id", "simhash",
+        "id", "bits",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
-    ).withColumn("chunk", F.shiftright("simhash", F.col("c") * 16).bitwiseAND(F.lit(0xFFFF)))
-    a = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "c", "chunk")
-    b = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "c", "chunk")
-    cand = a.join(b, ["c", "chunk"]).filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
-    hamming = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda bit: F.shiftright(F.col("ha").bitwiseXOR(F.col("hb")), bit).bitwiseAND(F.lit(1)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    ).withColumn("chunk", F.concat_ws("", F.slice("bits", F.col("c") * 16 + 1, 16)))
+    a = chunks.select(F.col("id").alias("a"), F.col("bits").alias("ba"), "c", "chunk")
+    b = chunks.select(F.col("id").alias("b"), F.col("bits").alias("bb"), "c", "chunk")
+    cand = (
+        a.join(b, ["c", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ba", "bb")
+        .distinct()
     )
+    hamming = F.size(F.filter(F.zip_with("ba", "bb", lambda x, y: x != y), lambda d: d))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("a", "b", "hamming")

@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the scale path. Dot products run as
+``F.aggregate``/``F.zip_with`` column expressions (JVM-side, codegen) —
+no Python UDFs.
+
+Scale notes: brute force is O(Q·N) — fine when the query side broadcasts;
+the LSH variant buckets both sides (one shuffle on the bucket key) and
+searches only within buckets, trading recall for a ~buckets× reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ca = F.transform(F.col(a), lambda x: x.cast("double"))
+    cb = F.transform(F.col(b), lambda x: x.cast("double"))
+    return df.withColumn(out, _dot(ca, cb) / (_norm(ca) * _norm(cb)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, score): exact top-k by cosine, self excluded.
+
+    ``queries`` is broadcast (small side); candidates ranked by
+    (score desc, neighbor_id) for deterministic ties.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("v_vec"))
+    joined = v.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id"))
+    joined = with_cosine(joined, "q_vec", "v_vec", "score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", round_to).alias("score"))
+    )
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    dim: int,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, bucket): sign pattern against `planes` pseudo-random hyperplanes.
+
+    Hyperplane components derive from xxhash64(seed, plane, dim-index) —
+    deterministic, generated as a column expression, no RNG state.
+    """
+    def plane_component(p, i):
+        h = F.xxhash64(F.lit(seed), F.lit(p), i)
+        return (h % 1000).cast("double") / 500.0 - 1.0
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for p in range(planes):
+        comps = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda i, p=p: plane_component(p, i))
+        proj = F.aggregate(F.zip_with(vec, comps, lambda x, c: x * c),
+                           F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return vectors.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    vb = hyperplane_buckets(vectors, dim, planes, id_col, vec_col)
+    qb = hyperplane_buckets(queries, dim, planes, id_col, vec_col)
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")) \
+        .join(vb.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")) \
+        .join(qb.withColumnRenamed("id", "query_id"), "query_id")
+    joined = v.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id"))
+    joined = with_cosine(joined, "q_vec", "v_vec", "score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+    )
+
+
+def cosine_near_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, score) all pairs with cosine ≥ threshold (exact, self-join).
+
+    Quadratic — the near-dup oracle for small/verification runs; production
+    path blocks through `hyperplane_buckets` first.
+    """
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    pairs = with_cosine(pairs, "va", "vb", "score")
+    return pairs.filter(F.col("score") >= threshold).select(
+        "a", "b", F.round("score", 4).alias("score"))

@@ -169,7 +169,7 @@ def _fetch_label(world: World, qid: str) -> tuple[str, str]:
     return "Untitled", "en"
 
 
-def works_header_triples_set() -> set[Triple]:
+def works_header_triples_set() -> set[Triple]:  # noqa: D103
     from .plans.constants import works_header_triples
 
     return {_iri(s, p, o) for s, p, o in works_header_triples()}
@@ -365,6 +365,34 @@ def works_triples(world: World, work_qids: set[str] | None = None) -> set[Triple
             g.add(_iri(expr, ECRM + "P138i_has_representation", digital))
             g.add(_iri(digital, RDFS_SEEALSO, wk["digital_copy"]))
     return g
+
+
+def merge_triples(*graphs: set[Triple]) -> set[Triple]:
+    """merge.py:34-77 semantics with the engine's deterministic label order."""
+    from .model import INTRO, LRMOO_ONTO, OWL
+
+    g: set[Triple] = set()
+    for gr in graphs:
+        g |= gr
+    # one rdfs:label per subject, lang-tagged preferred, deterministic order
+    by_subj: dict[str, list[Triple]] = {}
+    for t in g:
+        if t[1] == RDFS_LABEL:
+            by_subj.setdefault(t[0], []).append(t)
+    out = {t for t in g if t[1] != RDFS_LABEL}
+    for s, cands in by_subj.items():
+        cands.sort(key=lambda t: (t[3] is None, t[3] or "", t[2], t[4] or ""))
+        out.add(cands[0])
+    # ontology rewrite
+    onto = {t[0] for t in out
+            if t[1] == RDF_TYPE and t[2] == OWL + "Ontology"}
+    out = {t for t in out if t[0] not in onto}
+    all_uri = SAPPHO + "ontology/all"
+    out.add(_iri(all_uri, RDF_TYPE, OWL + "Ontology"))
+    out.add(_iri(all_uri, OWL + "imports", ECRM))
+    out.add(_iri(all_uri, OWL + "imports", LRMOO_ONTO))
+    out.add(_iri(all_uri, OWL + "imports", INTRO))
+    return out
 
 
 def precision_recall(engine: set, golden: set) -> tuple[float, float]:

@@ -18,6 +18,7 @@ from .model import (
     ECRM,
     INTRO,
     LRMOO,
+    LRMOO_ONTO,
     OWL_SAMEAS,
     PROV_DERIVED,
     RDF_TYPE,
@@ -194,8 +195,8 @@ def relations_header_triples() -> set[Triple]:
     g = {
         _iri(onto, RDF_TYPE, "http://www.w3.org/2002/07/owl#Ontology"),
         _iri(onto, "http://www.w3.org/2002/07/owl#imports", "http://erlangen-crm.org/current/"),
-        _iri(onto, "http://www.w3.org/2002/07/owl#imports", LRMOO),
-        _iri(onto, "http://www.w3.org/2002/07/owl#imports", INTRO.rstrip("#")),
+        _iri(onto, "http://www.w3.org/2002/07/owl#imports", LRMOO_ONTO),
+        _iri(onto, "http://www.w3.org/2002/07/owl#imports", INTRO),
         _iri(ID_TYPE, RDF_TYPE, ECRM + "E55_Type"),
         _lit(ID_TYPE, RDFS_LABEL, "Wikidata ID", "en"),
         _iri(ID_TYPE, OWL_SAMEAS, WD + "Q43649390"),

@@ -1,0 +1,164 @@
+"""End-to-end KG-construction pipeline with per-stage checkpoints + lineage.
+
+Stage layout (SURVEY.md §7.1):
+
+    corpusgen → ingest (span invariant) → link (pandas UDF) →
+    authors/works/relations mapping → merge → write
+
+Each stage can checkpoint its output as a parquet *stage table* with a
+``_metrics`` row (stage, row_count, input fingerprint); a re-run with the
+same fingerprint reuses the stage table — the north rule's resumability.
+On a cluster the stage tables are Iceberg (`writeTo(...).createOrReplace`);
+parquet is the sandbox stand-in (same layout, partitioned by subject hash
+bucket on the triple tables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fixtures import interleaved_corpus, make_world, world_to_spark
+from .invariants import assert_span_invariant
+from .linking import detect_mentions, linked_qids
+from .plans.authors import authors_stage
+from .plans.merge import merge_stage
+from .plans.relations import relations_stage
+from .plans.works import works_stage
+
+TRIPLE_BUCKETS = 64
+
+
+class StageRunner:
+    """Checkpointed stage execution with lineage metrics."""
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str | None = None):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.metrics: list[dict] = []
+
+    def run(self, name: str, fingerprint: str, build) -> DataFrame:
+        t0 = time.time()
+        if self.dir:
+            path = os.path.join(self.dir, name)
+            meta_path = os.path.join(self.dir, f"{name}._metrics.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if meta.get("fingerprint") == fingerprint:
+                    df = self.spark.read.parquet(path)
+                    self.metrics.append({**meta, "reused": True})
+                    return df
+            df = build()
+            # partition triple-shaped outputs by subject hash bucket
+            # (north rule: repartition by subject-hash)
+            if "subj" in df.columns:
+                df = df.withColumn(
+                    "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(TRIPLE_BUCKETS))
+                )
+                df.write.mode("overwrite").partitionBy("subj_bucket").parquet(path)
+            else:
+                df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+            meta = {
+                "stage": name,
+                "fingerprint": fingerprint,
+                "row_count": out.count(),
+                "wall_sec": round(time.time() - t0, 2),
+                "reused": False,
+            }
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+            self.metrics.append(meta)
+            return out.drop("subj_bucket") if "subj_bucket" in out.columns else out
+        # no checkpoint dir: truncate lineage in memory so downstream plans
+        # stay small (Catalyst analysis cost grows with plan depth)
+        df = build().localCheckpoint(eager=False)
+        self.metrics.append({"stage": name, "fingerprint": fingerprint,
+                             "wall_sec": round(time.time() - t0, 2),
+                             "reused": False})
+        return df
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    check_invariant: bool = True,
+    mentions_per_doc: int = 3,
+) -> DataFrame:
+    """documents.parquet at ``sf_dir`` → merged CIDOC-CRM/LRMoo/INTRO triples.
+
+    The Wikidata dimensions come from the deterministic fixture world (the
+    engine's stand-in for the SPARQL endpoint, FIXTURES.md §2).
+    """
+    runner = StageRunner(spark, checkpoint_dir)
+    fp = f"{sf_dir}:{mentions_per_doc}"
+
+    world = make_world()
+    dims = world_to_spark(spark, world)
+    for name in ("wd_statements", "wd_labels", "wd_subclass_closure",
+                 "wd_property_closure", "wd_entities"):
+        dims[name].cache()
+
+    corpus = runner.run(
+        "corpus", fp,
+        lambda: interleaved_corpus(
+            spark, os.path.join(sf_dir, "documents.parquet"),
+            dims["wd_entities"], mentions_per_doc=mentions_per_doc),
+    )
+    docs = corpus.select("doc_id", "spans")
+
+    if check_invariant:
+        # ingest must not disturb the span sequence (BASELINE.json input_hint)
+        assert_span_invariant(corpus.select("doc_id", "spans"), docs)
+
+    mentions = runner.run(
+        "mentions", fp,
+        lambda: detect_mentions(spark, docs, dims["wd_entities"]),
+    )
+    persons = linked_qids(mentions, dims["wd_entities"], "person")
+    works = linked_qids(mentions, dims["wd_entities"], "work")
+
+    authors_t = runner.run(
+        "authors_triples", fp,
+        lambda: authors_stage(spark, persons, dims["wd_statements"], dims["wd_labels"]),
+    )
+    works_t = runner.run(
+        "works_triples", fp,
+        lambda: works_stage(spark, works, dims["wd_statements"], dims["wd_labels"]),
+    )
+    relations_t = runner.run(
+        "relations_triples", fp,
+        lambda: relations_stage(
+            spark, works, dims["wd_statements"], dims["wd_labels"],
+            dims["wd_subclass_closure"], dims["wd_property_closure"]),
+    )
+    merged = runner.run(
+        "merged", fp,
+        lambda: merge_stage(spark, [authors_t, works_t, relations_t]),
+    )
+    merged._pipeline_metrics = runner.metrics  # introspection for bench
+    return merged
+
+
+def main() -> None:
+    """spark-submit entry point: run the pipeline and report metrics."""
+    from .session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("wiki2crm-pipeline")
+    t0 = time.time()
+    out = run_pipeline(spark, sf_dir)
+    n = out.count()
+    wall = time.time() - t0
+    print(json.dumps({"triples": n, "wall_sec": round(wall, 2),
+                      "triples_per_sec": round(n / wall, 1)}))
+
+
+if __name__ == "__main__":
+    main()

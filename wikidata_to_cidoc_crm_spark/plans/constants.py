@@ -16,6 +16,7 @@ from ..model import (
     FRBROO,
     INTRO,
     LRMOO,
+    LRMOO_ONTO,
     OWL,
     RDF_TYPE,
     SAPPHO,
@@ -119,7 +120,7 @@ def works_header_triples() -> list[tuple]:
     triples = [
         (onto, RDF_TYPE, OWL_ONTOLOGY),
         (onto, OWL_IMPORTS, ECRM),
-        (onto, OWL_IMPORTS, LRMOO),
+        (onto, OWL_IMPORTS, LRMOO_ONTO),
     ]
     for cls in WORK_ECRM_CLASSES:
         triples.append((ECRM + cls, OWL_EQ_CLASS, CRM + cls))
@@ -147,7 +148,7 @@ def relations_header(spark: SparkSession) -> DataFrame:
     triples = [
         (onto, RDF_TYPE, OWL_ONTOLOGY),
         (onto, OWL_IMPORTS, ECRM),
-        (onto, OWL_IMPORTS, LRMOO),
-        (onto, OWL_IMPORTS, INTRO.rstrip("#")),
+        (onto, OWL_IMPORTS, LRMOO_ONTO),
+        (onto, OWL_IMPORTS, INTRO),
     ]
     return const_triples(spark, triples)

@@ -1,0 +1,83 @@
+"""Merge stage — deduplicating union of the authors/works/relations graphs.
+
+Behavioral spec: ``/root/reference/src/wiki2crm/merge.py:34-77``.
+* union with set semantics (U1),
+* one rdfs:label per subject, lang-tagged preferred (A6) — the reference
+  keeps the "first encountered" label (rdflib iteration order); the engine
+  fixes a deterministic order: lang-tagged first, then (lang, obj, dtype)
+  ascending (SURVEY §4.4.6),
+* ontology-node rewrite (U5): drop every triple whose subject is typed
+  owl:Ontology, then add the merged header.
+
+Scale notes: the label dedup is a single window over subjects filtered to
+label triples only (tiny fraction); the anti-join against ontology subjects
+broadcasts (constant-sized set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..model import (
+    ECRM,
+    INTRO,
+    LRMOO_ONTO,
+    OWL,
+    RDF_TYPE,
+    RDFS_LABEL,
+    SAPPHO,
+    const_triples,
+    dedupe_triples,
+)
+
+OWL_ONTOLOGY = OWL + "Ontology"
+OWL_IMPORTS = OWL + "imports"
+
+
+def merged_header(spark: SparkSession) -> DataFrame:
+    onto = SAPPHO + "ontology/all"
+    return const_triples(spark, [
+        (onto, RDF_TYPE, OWL_ONTOLOGY),
+        (onto, OWL_IMPORTS, ECRM),
+        (onto, OWL_IMPORTS, LRMOO_ONTO),
+        (onto, OWL_IMPORTS, INTRO),
+    ])
+
+
+def cleanup_duplicate_labels(g: DataFrame) -> DataFrame:
+    """Keep exactly one rdfs:label per subject (merge.py:41-63)."""
+    labels = g.filter(F.col("pred") == RDFS_LABEL)
+    others = g.filter(F.col("pred") != RDFS_LABEL)
+    w = Window.partitionBy("subj").orderBy(
+        F.col("lang").isNull().asc(),
+        F.coalesce("lang", F.lit("")).asc(),
+        F.col("obj").asc(),
+        F.coalesce("dtype", F.lit("")).asc(),
+    )
+    kept = (
+        labels.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return others.unionByName(kept)
+
+
+def cleanup_ontology(spark: SparkSession, g: DataFrame) -> DataFrame:
+    """Remove all ontology-node triples, add merged header (merge.py:65-77)."""
+    onto_subjects = (
+        g.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_ONTOLOGY))
+        .select("subj")
+        .distinct()
+    )
+    kept = g.join(F.broadcast(onto_subjects), "subj", "left_anti")
+    return kept.unionByName(merged_header(spark))
+
+
+def merge_stage(spark: SparkSession, graphs: list[DataFrame]) -> DataFrame:
+    g = graphs[0]
+    for other in graphs[1:]:
+        g = g.unionByName(other)
+    g = dedupe_triples(g)
+    g = cleanup_duplicate_labels(g)
+    return cleanup_ontology(spark, g)

@@ -156,7 +156,7 @@ def relations_stage(
             e = e.unionByName(typed_chars).distinct()
         elif ancestors:
             e = e.join(typed(ancestors), "tgt", "left_semi")
-        fw[fam] = e.cache()
+        fw[fam] = e
 
     # qualifying features: shared by ≥2 works (HAVING COUNT(DISTINCT ?wrk)>1,
     # relations.py:371-372 / len(works)<2 guards)
@@ -166,14 +166,14 @@ def relations_stage(
             fw[fam].groupBy("tgt").agg(F.countDistinct("work").alias("n"))
             .filter(F.col("n") >= 2).select("tgt")
         )
-        qfw[fam] = fw[fam].join(q, "tgt", "left_semi").cache()
+        qfw[fam] = fw[fam].join(q, "tgt", "left_semi").localCheckpoint(eager=False)
 
     # work references (relations.py:616-669): tgt ∈ W too; no ≥2 requirement
     workref = (
         edges(["P921"])
         .filter(F.col("tgt").startswith("Q"))
         .join(F.broadcast(W.withColumnRenamed("qid", "tgt")), "tgt", "left_semi")
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     # int31 direct links (relations.py:299-354): forward P4969; reversed
@@ -199,7 +199,7 @@ def relations_stage(
             F.least("src", "tgt").alias("_a"), F.greatest("src", "tgt").alias("_b"))
         .agg(F.min(F.struct("src", "tgt")).alias("_p"))
         .select(F.col("_p.src").alias("src"), F.col("_p.tgt").alias("tgt"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     # --- pairs per family (J8) + first-pair-wins partner (acts) ---
@@ -215,7 +215,7 @@ def relations_stage(
     all_pairs = pair_dfs[0]
     for p in pair_dfs[1:]:
         all_pairs = all_pairs.unionByName(p)
-    all_pairs = all_pairs.cache()
+    all_pairs = all_pairs.localCheckpoint(eager=False)
 
     fam_acts = act_dfs[0]
     for a in act_dfs[1:]:
@@ -245,7 +245,7 @@ def relations_stage(
     ).withColumn(
         "lb", F.when(F.lower("l1") <= F.lower("l2"), F.col("l2")).otherwise(F.col("l1"))
     ).withColumn("rel", F.concat(F.lit(SAPPHO + "relation/"), "w1", F.lit("_"), "w2")
-    ).withColumn("tid", F.concat("w1", F.lit("_"), "w2")).cache()
+    ).withColumn("tid", F.concat("w1", F.lit("_"), "w2")).localCheckpoint(eager=False)
 
     rel_label = F.format_string("Intertextual relation between %s and %s", "la", "lb")
     rel_triples = emit_triples(rels, [
@@ -307,7 +307,7 @@ def relations_stage(
         F.concat(F.lit(SAPPHO + "feature/"), "typ", F.lit("/"), "tgt"),
     ).withColumn(
         "rel", F.concat(F.lit(SAPPHO + "relation/"), "rel_w1", F.lit("_"), "rel_w2")
-    ).withColumn("expr", mint("expression", "work")).cache()
+    ).withColumn("expr", mint("expression", "work")).localCheckpoint(eager=False)
 
     act_triples = emit_triples(acts, [
         Rule(F.col("act"), RDF_TYPE, INTRO + "INT2_ActualizationOfFeature",
@@ -347,7 +347,7 @@ def relations_stage(
 
     interp_all = rel_interp_src.unionByName(act_interp_src)
     wnd = Window.partitionBy("tid").orderBy("prio", "target")
-    interp_all = interp_all.withColumn("rank", F.row_number().over(wnd)).cache()
+    interp_all = interp_all.withColumn("rank", F.row_number().over(wnd)).localCheckpoint(eager=False)
     creators = interp_all.filter(F.col("rank") == 1)
 
     interp_creation = emit_triples(creators, [
@@ -545,17 +545,11 @@ def relations_stage(
                  + feat_triple_parts):
         out = out.unionByName(part)
     if include_header:
-        from ..model import OWL
-        from .constants import OWL_ONTOLOGY  # noqa: F401
-
-        header = const_triples(spark, [
-            (SAPPHO + "ontology/relations", RDF_TYPE, OWL + "Ontology"),
-            (SAPPHO + "ontology/relations", OWL + "imports", ECRM),
-            (SAPPHO + "ontology/relations", OWL + "imports", LRMOO),
-            (SAPPHO + "ontology/relations", OWL + "imports", INTRO.rstrip("#")),
+        # ontology node + ID-Type block (relations.py:147-166)
+        header = relations_header(spark).unionByName(const_triples(spark, [
             (ID_TYPE, RDF_TYPE, ECRM + "E55_Type"),
             (ID_TYPE, RDFS_LABEL, "Wikidata ID", False, "en"),
             (ID_TYPE, OWL_SAMEAS, WD + "Q43649390"),
-        ])
+        ]))
         out = out.unionByName(header)
     return dedupe_triples(out)
