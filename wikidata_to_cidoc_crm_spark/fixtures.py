@@ -118,6 +118,19 @@ def _date(rng: random.Random, base_year: int) -> str:
     return f"{y:04d}-{m:02d}-{d:02d}T00:00:00Z"
 
 
+def make_world_scaled(scale: int = 1, seed: int = 42) -> World:
+    """World whose entity counts grow linearly with ``scale`` (bench uses
+    scale ∝ sf so pipeline output scales with the corpus)."""
+    return make_world(
+        n_persons=40 * scale,
+        n_works=30 * scale,
+        n_places=max(12, 6 * scale),
+        n_features=12 * scale,
+        n_docs=120,
+        seed=seed,
+    )
+
+
 def make_world(
     n_persons: int = 40,
     n_works: int = 30,

@@ -22,7 +22,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fixtures import interleaved_corpus, make_world, world_to_spark
+from .fixtures import interleaved_corpus, make_world_scaled, world_to_spark
 from .invariants import assert_span_invariant
 from .linking import detect_mentions, linked_qids
 from .plans.authors import authors_stage
@@ -84,12 +84,24 @@ class StageRunner:
         return df
 
 
+def world_scale_for(sf_dir: str) -> int:
+    """Deterministic world scale ∝ scale factor (sf0.001→1, sf0.01→2,
+    sf0.1→20): the entity dimension grows with the corpus so pipeline
+    output volume scales with input volume."""
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return max(1, round(sf * 200))
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
     checkpoint_dir: str | None = None,
     check_invariant: bool = True,
     mentions_per_doc: int = 3,
+    world_scale: int | None = None,
 ) -> DataFrame:
     """documents.parquet at ``sf_dir`` → merged CIDOC-CRM/LRMoo/INTRO triples.
 
@@ -97,9 +109,10 @@ def run_pipeline(
     engine's stand-in for the SPARQL endpoint, FIXTURES.md §2).
     """
     runner = StageRunner(spark, checkpoint_dir)
-    fp = f"{sf_dir}:{mentions_per_doc}"
+    scale = world_scale if world_scale is not None else world_scale_for(sf_dir)
+    fp = f"{sf_dir}:{mentions_per_doc}:{scale}"
 
-    world = make_world()
+    world = make_world_scaled(scale)
     dims = world_to_spark(spark, world)
     for name in ("wd_statements", "wd_labels", "wd_subclass_closure",
                  "wd_property_closure", "wd_entities"):
