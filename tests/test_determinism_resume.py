@@ -1,0 +1,53 @@
+"""Determinism across parallelism + checkpoint/resume (north rule)."""
+
+from __future__ import annotations
+
+from wikidata_to_cidoc_crm_spark.model import triples_to_python_set
+from wikidata_to_cidoc_crm_spark.plans.authors import authors_stage
+from wikidata_to_cidoc_crm_spark.plans.relations import relations_stage
+
+
+def test_partitioning_invariance(spark, world, dims):
+    """Same triple set regardless of input partitioning / shuffle width
+    (the in-session proxy for the local[8]-vs-local[32] determinism check;
+    the cross-process variant runs in tools/scaling_bench.py)."""
+    qids = spark.createDataFrame([(w["qid"],) for w in world.works[:10]], "qid string")
+    stmts = dims["wd_statements"]
+    base = triples_to_python_set(relations_stage(
+        spark, qids, stmts, dims["wd_labels"],
+        dims["wd_subclass_closure"], dims["wd_property_closure"]))
+    scrambled = triples_to_python_set(relations_stage(
+        spark, qids.repartition(7), stmts.repartition(13), dims["wd_labels"],
+        dims["wd_subclass_closure"], dims["wd_property_closure"]))
+    assert base == scrambled
+
+
+def test_stage_runner_resume(spark, world, dims, tmp_path):
+    from wikidata_to_cidoc_crm_spark.pipeline import StageRunner
+
+    qids = spark.createDataFrame([(p["qid"],) for p in world.persons[:5]], "qid string")
+
+    def build():
+        return authors_stage(spark, qids, dims["wd_statements"], dims["wd_labels"])
+
+    r1 = StageRunner(spark, str(tmp_path))
+    out1 = triples_to_python_set(r1.run("authors", "fp1", build))
+    assert not r1.metrics[0]["reused"]
+
+    # resume with same fingerprint: stage table reused, no rebuild
+    r2 = StageRunner(spark, str(tmp_path))
+    called = []
+
+    def build_fail():
+        called.append(1)
+        raise AssertionError("stage should have been reused")
+
+    out2 = triples_to_python_set(r2.run("authors", "fp1", build_fail))
+    assert r2.metrics[0]["reused"] and not called
+    assert out1 == out2
+
+    # fingerprint change → rebuild
+    r3 = StageRunner(spark, str(tmp_path))
+    out3 = triples_to_python_set(r3.run("authors", "fp2", build))
+    assert not r3.metrics[0]["reused"]
+    assert out3 == out1

@@ -1,0 +1,125 @@
+"""Unit tests for the custom operators (closure, components, pairs, dedup,
+similarity, text stats, multimodal plumbing, streaming-equivalent plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata_to_cidoc_crm_spark.operators.closure import transitive_closure
+from wikidata_to_cidoc_crm_spark.operators.components import connected_components
+from wikidata_to_cidoc_crm_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_near_pairs,
+)
+from wikidata_to_cidoc_crm_spark.operators.pairs import first_partner, pair_join
+from wikidata_to_cidoc_crm_spark.operators.similarity import brute_force_topk
+
+
+def test_transitive_closure_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string")
+    got = {(r["src"], r["dst"]) for r in
+           transitive_closure(edges, include_self=False).collect()}
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                   ("b", "d"), ("c", "d"), ("x", "y")}
+
+
+def test_transitive_closure_reflexive(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {(r["src"], r["dst"]) for r in transitive_closure(edges).collect()}
+    assert got == {("a", "a"), ("b", "b"), ("a", "b")}
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")],
+        "src string, dst string")
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"),
+                   ("d", "d"), ("e", "d"), ("f", "f")}
+
+
+def test_pair_join_and_first_partner(spark):
+    fw = spark.createDataFrame(
+        [("f1", "w1"), ("f1", "w2"), ("f1", "w3"), ("f2", "w9")],
+        "tgt string, work string")
+    pairs = {(r["tgt"], r["w1"], r["w2"]) for r in pair_join(fw).collect()}
+    assert pairs == {("f1", "w1", "w2"), ("f1", "w1", "w3"), ("f1", "w2", "w3")}
+    fp = {(r["tgt"], r["work"], r["rel_w1"], r["rel_w2"])
+          for r in first_partner(fw).collect()}
+    # first-pair-wins: w1→(w1,w2); w2→(w1,w2); w3→(w1,w3); singleton dropped
+    assert fp == {("f1", "w1", "w1", "w2"), ("f1", "w2", "w1", "w2"),
+                  ("f1", "w3", "w1", "w3")}
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "THE  quick brown fox jumps over the lazy dog"),  # exact dup of 1 (normalized)
+        (4, "completely different text about spark engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dup_groups(spark):
+    groups = exact_dup_groups(_docs(spark)).collect()
+    assert len(groups) == 1 and sorted(groups[0]["ids"]) == [1, 3]
+
+
+def test_jaccard_pairs_finds_near_dups(spark):
+    pairs = {(r["a"], r["b"]) for r in jaccard_pairs(_docs(spark), threshold=0.7).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_recall_on_exact_dup(spark):
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_lsh_dedup(_docs(spark), threshold=0.9).collect()}
+    # exact duplicates always agree on every band → must be found
+    assert (1, 3) in pairs
+
+
+def test_simhash_near_pairs(spark):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_near_pairs(_docs(spark), max_hamming=10).collect()}
+    assert pairs.get((1, 3)) == 0  # identical token sets → identical simhash
+    assert (1, 2) in pairs
+
+
+def test_brute_force_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        "vec_id bigint, embedding array<float>")
+    out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"]) for r in out.orderBy(F.desc("score")).collect()]
+    assert got == [3, 1]
+
+
+def test_media_feature_plumbing(spark, dims):
+    from wikidata_to_cidoc_crm_spark.operators.multimodal import (
+        extract_media_features, frame_sample_plan, synthesize_media_table)
+
+    media = synthesize_media_table(dims["documents_interleaved"])
+    feats = extract_media_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert rows and all(len(r["feature"]) == 8 and r["ok"] for r in rows)
+    frames = frame_sample_plan(media, every_ms=500)
+    vids = media.filter(F.col("meta.kind") == "video").count()
+    assert frames.count() == vids * 2  # 1000ms / 500ms
+
+
+def test_streaming_batch_equivalence(spark):
+    from wikidata_to_cidoc_crm_spark.streaming.events import windowed_event_counts
+
+    events = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:50:00", "a", 2.0),
+         ("2024-01-01 01:10:00", "b", 3.0)],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    got = {(str(r["window_start"]), r["event_type"], r["n"], r["total_value"])
+           for r in windowed_event_counts(events).collect()}
+    assert got == {("2024-01-01 00:00:00", "a", 2, 3.0),
+                   ("2024-01-01 01:00:00", "b", 1, 3.0)}

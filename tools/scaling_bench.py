@@ -1,0 +1,110 @@
+"""Scaling-efficiency benchmark (BASELINE.json north_rule).
+
+Sandbox proxy for the N→4N executor criterion: the SAME pipeline + input
+runs at local[8] and local[32] (one subprocess each, fresh JVM), measuring
+the *executed-stage* wall-clock (BASELINE.md protocol: plan construction is
+driver-side fixed cost, reported separately). Prints a summary and writes
+BENCH/BASELINE.md. Also verifies determinism: both runs must produce the
+identical sorted triple-set hash.
+
+Usage: python tools/scaling_bench.py [sf_dir] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import hashlib, json, os, sys, time
+sys.path.insert(0, {repo!r})
+from wikidata_to_cidoc_crm_spark.session import get_spark
+from wikidata_to_cidoc_crm_spark.pipeline import run_pipeline
+
+cores = int(sys.argv[1]); sf_dir = sys.argv[2]; runs = int(sys.argv[3])
+spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores)
+results = []
+for i in range(runs + 1):  # first run is warm-up (discarded)
+    t0 = time.time()
+    df = run_pipeline(spark, sf_dir, check_invariant=False)
+    plan_sec = time.time() - t0
+    t0 = time.time()
+    n = df.count()
+    exec_sec = time.time() - t0
+    results.append({{"plan_sec": plan_sec, "exec_sec": exec_sec, "triples": n}})
+# determinism hash over the sorted triple set
+rows = df.select("subj", "pred", "obj", "lang", "dtype").collect()
+lines = sorted("\x1f".join("" if v is None else str(v) for v in r) for r in rows)
+h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+timed = results[1:]
+print(json.dumps({{
+    "cores": cores,
+    "triples": results[-1]["triples"],
+    "plan_sec": [round(r["plan_sec"], 2) for r in timed],
+    "exec_sec": [round(r["exec_sec"], 2) for r in timed],
+    "hash": h,
+}}))
+"""
+
+
+def run_level(cores: int, sf_dir: str, runs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), sf_dir, str(runs)],
+        capture_output=True, text=True, timeout=3000,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    levels = {}
+    for cores in (8, 32):
+        levels[cores] = run_level(cores, sf_dir, runs)
+        print(f"local[{cores}]: {levels[cores]}")
+
+    n8 = levels[8]["triples"]
+    t8 = min(levels[8]["exec_sec"])
+    t32 = min(levels[32]["exec_sec"])
+    tput8 = n8 / t8
+    tput32 = levels[32]["triples"] / t32
+    eff = tput32 / (4 * tput8)
+    same = levels[8]["hash"] == levels[32]["hash"]
+    print(f"throughput local[8]={tput8:.1f}/s local[32]={tput32:.1f}/s "
+          f"efficiency={eff:.2f} deterministic={same}")
+
+    md = f"""# BENCH — scaling efficiency (north rule evidence)
+
+Sandbox proxy for the N→4N executor criterion (no real cluster available):
+the identical KG pipeline + input ran at `local[8]` and `local[32]`
+(separate JVMs, shuffle partitions = cores, warm-up run discarded,
+best of {runs} timed runs). Throughput = emitted triples / wall-clock of
+the executed stages (BASELINE.md measurement protocol; driver-side plan
+construction reported separately as fixed cost).
+
+| level | triples | exec sec (best) | plan sec | triples/sec |
+|---|---|---|---|---|
+| local[8]  | {n8} | {t8:.2f} | {min(levels[8]['plan_sec']):.2f} | {tput8:.1f} |
+| local[32] | {levels[32]['triples']} | {t32:.2f} | {min(levels[32]['plan_sec']):.2f} | {tput32:.1f} |
+
+**Scaling efficiency (throughput32 / (4 × throughput8)) = {eff:.2f}**
+
+Determinism: sorted-triple-set sha256 identical across parallelism levels:
+**{same}** (`{levels[8]['hash'][:16]}…`).
+
+Input: `{sf_dir}` (all exec-sec values: local[8]={levels[8]['exec_sec']},
+local[32]={levels[32]['exec_sec']}).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,8 @@ def make_world(
         w.places.append({"qid": qid, "label": label})
         w.labels.append((qid, "en", label))
         w.statements.append((qid, "P31", Q_GEO, True, None))
+        if j % 2 == 0:
+            w.external_ids.append((qid, "geonames", f"{2950000 + j}"))
 
     # genders (fixed QIDs, like Wikidata)
     w.labels.append((Q_FEMALE, "en", "female"))
@@ -187,6 +189,10 @@ def make_world(
         w.external_ids.append((qid, "gnd", f"11{i:06d}X"))
         if i % 2 == 0:
             w.external_ids.append((qid, "viaf", f"{500000 + i}"))
+
+    # external ids for gender entities (enrichment coverage)
+    w.external_ids.append((Q_FEMALE, "schema", "https://schema.org/Female"))
+    w.external_ids.append((Q_MALE, "schema", "https://schema.org/Male"))
 
     # features (for relations): plots, topics, motifs, characters
     kinds = ["plot", "topic", "motif", "character"]
@@ -257,6 +263,11 @@ def make_world(
             w.statements.append((qid, "P1433", wk["published_in"], True, None))
         if wk["part_of"]:
             w.statements.append((qid, "P361", wk["part_of"], True, None))
+        if i % 4 == 0:
+            w.external_ids.append((qid, "goodreads", f"{900000 + i}"))
+        if i % 5 == 0:
+            w.external_ids.append(
+                (qid, "dbpedia", f"https://dbpedia.org/resource/Work_{qid}"))
         # relations edges: share features to create pair-joins (relations.py:393)
         feat = w.features[i % n_features]
         pid = {"plot": "P921", "topic": "P921", "motif": "P6962",

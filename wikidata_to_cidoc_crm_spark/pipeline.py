@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .fixtures import interleaved_corpus, make_world_scaled, world_to_spark
 from .invariants import assert_span_invariant
 from .linking import detect_mentions, linked_qids
+from .plans.align import align_stage
 from .plans.authors import authors_stage
 from .plans.merge import merge_stage
 from .plans.relations import relations_stage
@@ -51,6 +52,8 @@ class StageRunner:
                     meta = json.load(f)
                 if meta.get("fingerprint") == fingerprint:
                     df = self.spark.read.parquet(path)
+                    if "subj_bucket" in df.columns:
+                        df = df.drop("subj_bucket")
                     self.metrics.append({**meta, "reused": True})
                     return df
             df = build()
@@ -155,8 +158,12 @@ def run_pipeline(
         "merged", fp,
         lambda: merge_stage(spark, [authors_t, works_t, relations_t]),
     )
-    merged._pipeline_metrics = runner.metrics  # introspection for bench
-    return merged
+    aligned = runner.run(
+        "aligned", fp,
+        lambda: align_stage(spark, merged, dims["wd_external_ids"]),
+    )
+    aligned._pipeline_metrics = runner.metrics  # introspection for bench
+    return aligned
 
 
 def main() -> None:

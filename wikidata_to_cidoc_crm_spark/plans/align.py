@@ -1,0 +1,318 @@
+"""Map-and-align stage — external-ID enrichment, SKOS ontology alignment,
+derived-property materialization.
+
+Behavioral spec: ``/root/reference/src/wiki2crm/map_and_align.py:207-1005``.
+* J17 enrichment: subjects owl:sameAs a Wikidata entity gain sameAs links to
+  external vocabularies (templated URLs, map_and_align.py:118-178);
+* A7 existence-gated constant blocks: presence flags for classes/predicates
+  are computed in ONE pass (two tiny distinct-collects), then the matching
+  SKOS constant blocks union in (align_spec.SKOS_BLOCKS);
+* J10–J15 property-chain materializations (has_manifestation / has_portrayal
+  / has_representation / about / expr_references / has_character) as 2–3-hop
+  self-joins over the triple table;
+* J16 temporal direction: relation text-passage pairs compared by creation
+  year (expression-creation, manifestation-creation fallback).
+
+Positions on reference bugs (SURVEY §4.4):
+* 4.4.4 — the reference attaches R12/R13 direction triples to the variable
+  ``rel`` leaked from a previous loop (last-iterated relation); the engine
+  implements the intended semantics (attach to the relation whose text
+  passages were compared).
+* 4.4.5 — ``references_person``/``references_place`` *instance* triples are
+  emitted; their property-definition blocks are guarded by conditions that
+  can never be true (class URI tested as object) and therefore never emit.
+* blank nodes in owl:propertyChainAxiom lists are skolemized (align_spec).
+* determinism: a relation's two text passages order by tp URI; equal years
+  fall to the else-branch (second tp's expression is "older"), matching the
+  reference's branch structure; creation year = min over candidate
+  time-spans.
+
+Scale notes: the chain joins are equi-joins on subject/object URIs over a
+triple table partitioned by subject hash; each hop co-partitions on the
+join key. The presence-flag collects move only distinct type/pred URIs
+(bounded by ontology size, not data size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import (
+    ECRM,
+    INTRO,
+    LRMOO,
+    OWL_SAMEAS,
+    RDF_TYPE,
+    RDFS_LABEL,
+    TRIPLE_SCHEMA,
+    WD,
+    const_triples,
+    dedupe_triples,
+)
+from .align_spec import (
+    ABOUT_DEF,
+    EXPR_REFERENCES_DEF,
+    EXPR_RELATION_DEF,
+    EXTERNAL_ID_TEMPLATES,
+    HAS_CHARACTER_DEF,
+    HAS_MANIFESTATION_DEF,
+    HAS_PORTRAYAL_DEF,
+    HAS_REPRESENTATION_DEF,
+    POSSIBLY_CITES_DEF,
+    SKOS_BLOCKS,
+    SP,
+)
+
+L, I, E = LRMOO, INTRO, ECRM
+
+
+def _mk(df: DataFrame, s, pred: str, o) -> DataFrame:
+    """Materialized-triple projection onto the canonical schema."""
+    s = F.col(s) if isinstance(s, str) else s
+    o = F.col(o) if isinstance(o, str) else o
+    return df.select(
+        s.alias("subj"), F.lit(pred).alias("pred"), o.alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("dtype"),
+    )
+
+
+def align_stage(
+    spark: SparkSession,
+    g: DataFrame,
+    external_ids: DataFrame | None = None,
+) -> DataFrame:
+    g = g.localCheckpoint(eager=False)
+    t = g.select("subj", "pred", "obj")
+
+    def po(p: str) -> DataFrame:
+        return t.filter(F.col("pred") == p).select(
+            F.col("subj").alias("s"), F.col("obj").alias("o"))
+
+    def typed(cls: str) -> DataFrame:
+        return (
+            t.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == cls))
+            .select(F.col("subj").alias("e")).distinct()
+        )
+
+    # --- presence flags (A7): ONE pass over distinct (pred, type-obj) ---
+    flag_rows = (
+        t.select(
+            "pred",
+            F.when(F.col("pred") == RDF_TYPE, F.col("obj")).alias("cls"),
+        )
+        .distinct()
+        .collect()
+    )
+    preds_present = {r["pred"] for r in flag_rows}
+    types_present = {r["cls"] for r in flag_rows if r["cls"] is not None}
+
+    const: list[tuple] = []
+    for kind, val, triples in SKOS_BLOCKS:
+        if (kind == "class" and val in types_present) or (
+                kind == "pred" and val in preds_present):
+            const += triples
+
+    parts: list[DataFrame] = []
+
+    # --- J17 enrichment ---
+    if external_ids is not None:
+        same = po(OWL_SAMEAS).withColumn(
+            "qid", F.regexp_extract("o", r"^http://www\.wikidata\.org/entity/(Q\d+)$", 1)
+        ).filter(F.col("qid") != "")
+        tmpl = F.create_map(*[
+            x for k, v in EXTERNAL_ID_TEMPLATES.items()
+            for x in (F.lit(k), F.lit(v))
+        ])
+        enr = same.join(external_ids, "qid").withColumn(
+            "uri", F.replace(tmpl[F.col("id_type")], F.lit("{v}"), F.col("value"))
+        ).filter(F.col("uri").rlike("^https?://"))
+        parts.append(_mk(enr, "s", OWL_SAMEAS, "uri"))
+
+    r3 = po(L + "R3_is_realised_in")
+    r4i = po(L + "R4i_is_embodied_in")
+    r7i = po(L + "R7i_is_exemplified_by")
+    r18 = po(I + "R18_showsActualization")      # expr -> act
+    r17 = po(I + "R17_actualizesFeature")       # act -> feature
+    p67 = po(E + "P67_refers_to")               # act -> target
+
+    f1 = typed(L + "F1_Work")
+    f2 = typed(L + "F2_Expression")
+
+    # has_manifestation (map_and_align.py:580-606)
+    if L + "F1_Work" in types_present and L + "F3_Manifestation" in types_present:
+        const += HAS_MANIFESTATION_DEF
+        hops = (
+            r3.join(f1, r3.s == f1.e, "left_semi")
+            .join(r4i.withColumnRenamed("s", "o1").withColumnRenamed("o", "mani"),
+                  F.col("o") == F.col("o1"))
+        )
+        parts.append(_mk(hops, "s", SP + "has_manifestation", "mani"))
+
+    # has_portrayal (608-633)
+    if L + "F1_Work" in types_present and L + "F5_Item" in types_present:
+        const += HAS_PORTRAYAL_DEF
+        hops = (
+            r3.join(f1, r3.s == f1.e, "left_semi")
+            .join(r4i.withColumnRenamed("s", "o1").withColumnRenamed("o", "mani"),
+                  F.col("o") == F.col("o1"))
+            .join(r7i.withColumnRenamed("s", "m1").withColumnRenamed("o", "item"),
+                  F.col("mani") == F.col("m1"))
+        )
+        parts.append(_mk(hops, "s", SP + "has_portrayal", "item"))
+
+    # has_representation (635-658)
+    if L + "F2_Expression" in types_present and L + "F5_Item" in types_present:
+        const += HAS_REPRESENTATION_DEF
+        hops = (
+            r4i.join(f2, r4i.s == f2.e, "left_semi")
+            .join(r7i.withColumnRenamed("s", "m1").withColumnRenamed("o", "item"),
+                  F.col("o") == F.col("m1"))
+        )
+        parts.append(_mk(hops, "s", SP + "has_representation", "item"))
+
+    # --- directions (660-694): per INT31 rel with exactly two text passages ---
+    r24 = po(I + "R24_hasRelatedEntity")        # rel -> related entity
+    r30i = po(I + "R30i_isTextPassageOf")       # tp -> expr
+    rels31 = typed(I + "INT31_IntertextualRelation")
+    tp_expr = (
+        r24.join(rels31, r24.s == rels31.e, "left_semi")
+        .join(r30i.withColumnRenamed("s", "tp").withColumnRenamed("o", "expr"),
+              F.col("o") == F.col("tp"))
+        .select(F.col("s").alias("rel"), "tp", "expr")
+        .distinct()
+    )
+    cand = (
+        tp_expr.groupBy("rel")
+        .agg(
+            F.count("*").alias("n_tp"),
+            F.countDistinct("expr").alias("n_expr"),
+            F.min_by("expr", "tp").alias("expr1"),
+            F.max_by("expr", "tp").alias("expr2"),
+            F.min("tp").alias("tp1"),
+            F.max("tp").alias("tp2"),
+        )
+        .filter((F.col("n_tp") == 2) & (F.col("n_expr") == 2))
+    )
+    # creation year (get_creation_year, 184-194): expression creation, else
+    # manifestation creation; min for determinism
+    labels = t.filter(F.col("pred") == RDFS_LABEL).select(
+        F.col("subj").alias("ts"), F.col("obj").alias("y"))
+    r17i = po(L + "R17i_was_created_by")        # expr -> ec
+    p4 = po(E + "P4_has_time-span")             # event -> ts
+    r24c = po(L + "R24_created")                # mc -> manif
+    y_ec = (
+        r17i.join(p4.withColumnRenamed("s", "ec").withColumnRenamed("o", "ts"),
+                  F.col("o") == F.col("ec"))
+        .join(labels, "ts")
+        .groupBy(F.col("s").alias("ex")).agg(F.min("y").alias("y_ec"))
+    )
+    y_mc = (
+        r4i.join(r24c.withColumnRenamed("s", "mc").withColumnRenamed("o", "mani"),
+                 F.col("o") == F.col("mani"))
+        .join(p4.withColumnRenamed("s", "mc2").withColumnRenamed("o", "ts"),
+              F.col("mc") == F.col("mc2"))
+        .join(labels, "ts")
+        .groupBy(F.col("s").alias("ex")).agg(F.min("y").alias("y_mc"))
+    )
+    years = y_ec.join(y_mc, "ex", "full_outer").select(
+        "ex", F.coalesce("y_ec", "y_mc").cast("int").alias("yr"))
+    directions = (
+        cand.join(years.withColumnRenamed("ex", "expr1").withColumnRenamed("yr", "y1"),
+                  "expr1")
+        .join(years.withColumnRenamed("ex", "expr2").withColumnRenamed("yr", "y2"),
+              "expr2")
+        .filter(F.col("y1").isNotNull() & F.col("y2").isNotNull())
+        .select(
+            "rel",
+            F.when(F.col("y1") < F.col("y2"), F.col("expr2")).otherwise(F.col("expr1")).alias("younger_expr"),
+            F.when(F.col("y1") < F.col("y2"), F.col("expr1")).otherwise(F.col("expr2")).alias("older_expr"),
+            F.when(F.col("y1") < F.col("y2"), F.col("tp2")).otherwise(F.col("tp1")).alias("younger_tp"),
+            F.when(F.col("y1") < F.col("y2"), F.col("tp1")).otherwise(F.col("tp2")).alias("older_tp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # about (696-720)
+    if I + "INT_Topic" in types_present:
+        const += ABOUT_DEF
+        hops = (
+            r18.join(f2, r18.s == f2.e, "left_semi")
+            .join(r17.withColumnRenamed("s", "act").withColumnRenamed("o", "feat"),
+                  F.col("o") == F.col("act"))
+            .join(typed(I + "INT_Topic").withColumnRenamed("e", "feat2"),
+                  F.col("feat") == F.col("feat2"), "left_semi")
+        )
+        parts.append(_mk(hops, "s", SP + "about", "feat"))
+
+    # expr_relation (723-776) + intended-semantics R12/R13 directions
+    if I + "INT31_IntertextualRelation" in types_present:
+        const += EXPR_RELATION_DEF
+        rel_exprs = (
+            r24.join(rels31, r24.s == rels31.e, "left_semi")
+            .join(r18.withColumnRenamed("s", "ex").withColumnRenamed("o", "act"),
+                  F.col("o") == F.col("act"))
+            .select(F.col("s").alias("rel"), F.col("ex").alias("expr"))
+            .distinct()
+        )
+        pairs = (
+            rel_exprs.withColumnRenamed("expr", "e1")
+            .join(rel_exprs.withColumnRenamed("expr", "e2"), "rel")
+            .filter(F.col("e1") != F.col("e2"))
+        )
+        parts.append(_mk(pairs, "e1", SP + "expr_relation", "e2"))
+        parts.append(_mk(pairs, "e2", SP + "expr_relation", "e1"))
+        parts.append(_mk(directions, "rel", I + "R13_hasReferringEntity", "younger_expr"))
+        parts.append(_mk(directions, "younger_expr", I + "R13i_isReferringEntity", "rel"))
+        parts.append(_mk(directions, "rel", I + "R12_hasReferredToEntity", "older_expr"))
+        parts.append(_mk(directions, "older_expr", I + "R12i_isReferredToEntity", "rel"))
+
+    # expr/tp possibly cites (778-869)
+    if I + "R30i_isTextPassageOf" in preds_present:
+        const += POSSIBLY_CITES_DEF
+        parts.append(_mk(directions, "younger_expr", SP + "expr_possibly_cites", "older_expr"))
+        parts.append(_mk(directions, "older_expr", SP + "expr_possibly_cited_by", "younger_expr"))
+        parts.append(_mk(directions, "younger_expr", SP + "tp_possibly_cites", "older_tp"))
+        parts.append(_mk(directions, "older_tp", SP + "tp_possibly_cited_by", "younger_expr"))
+
+    # expr_references (+ instance-level references_person/place, 870-920);
+    # the person/place *definition* blocks never fire (SURVEY §4.4.5)
+    if E + "P67_refers_to" in preds_present:
+        const += EXPR_REFERENCES_DEF
+        refs = (
+            r18.join(f2, r18.s == f2.e, "left_semi")
+            .join(p67.withColumnRenamed("s", "act").withColumnRenamed("o", "target"),
+                  F.col("o") == F.col("act"))
+            .select(F.col("s").alias("expr"), "target")
+            .distinct()
+        )
+        parts.append(_mk(refs, "expr", SP + "expr_references", "target"))
+        is_person = typed(E + "E21_Person").withColumnRenamed("e", "target")
+        is_place = typed(E + "E53_Place").withColumnRenamed("e", "target")
+        persons = refs.join(is_person, "target", "left_semi")
+        places = refs.join(is_place, "target", "left_semi").join(
+            is_person, "target", "left_anti")  # elif semantics
+        parts.append(_mk(persons, "expr", SP + "references_person", "target"))
+        parts.append(_mk(places, "expr", SP + "references_place", "target"))
+
+    # has_character (962-991)
+    if I + "INT_Character" in types_present:
+        const += HAS_CHARACTER_DEF
+        hops = (
+            r18.join(f2, r18.s == f2.e, "left_semi")
+            .join(r17.withColumnRenamed("s", "act").withColumnRenamed("o", "feat"),
+                  F.col("o") == F.col("act"))
+            .join(typed(I + "INT_Character").withColumnRenamed("e", "feat2"),
+                  F.col("feat") == F.col("feat2"), "left_semi")
+        )
+        parts.append(_mk(hops, "s", SP + "has_character", "o"))
+        parts.append(_mk(hops, "o", SP + "is_character_in", "s"))
+
+    out = g
+    if const:
+        out = out.unionByName(const_triples(spark, const))
+    for p in parts:
+        out = out.unionByName(p)
+    return dedupe_triples(out)

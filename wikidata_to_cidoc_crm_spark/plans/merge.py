@@ -78,6 +78,8 @@ def merge_stage(spark: SparkSession, graphs: list[DataFrame]) -> DataFrame:
     g = graphs[0]
     for other in graphs[1:]:
         g = g.unionByName(other)
-    g = dedupe_triples(g)
+    # truncate lineage after the union-dedup: the downstream label window and
+    # anti-join then plan against a flat scan, not the stages' full DAGs
+    g = dedupe_triples(g).localCheckpoint(eager=False)
     g = cleanup_duplicate_labels(g)
     return cleanup_ontology(spark, g)
