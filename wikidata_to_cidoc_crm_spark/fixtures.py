@@ -359,7 +359,13 @@ def make_world(
 
 
 def world_to_spark(spark: SparkSession, w: World) -> dict[str, DataFrame]:
-    """Materialize the world as Spark DataFrames (the broadcast dimensions)."""
+    """Materialize the world as Spark DataFrames (the broadcast dimensions).
+
+    Each dim is eagerly localCheckpoint-ed: ``createDataFrame`` yields a
+    LocalRelation whose rows would otherwise be embedded into (and
+    re-serialized with) every downstream plan tree Catalyst analyzes —
+    checkpointing turns them into RDD-backed scans, like real tables.
+    """
     docs = spark.createDataFrame(
         [(d, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
          for d, spans in w.documents],
@@ -370,7 +376,7 @@ def world_to_spark(spark: SparkSession, w: World) -> dict[str, DataFrame]:
          for e in w.entities],
         ENTITY_SCHEMA,
     )
-    return {
+    dims = {
         "documents_interleaved": docs,
         "wd_entities": ents,
         "wd_statements": spark.createDataFrame(w.statements, STATEMENT_SCHEMA),
@@ -382,6 +388,7 @@ def world_to_spark(spark: SparkSession, w: World) -> dict[str, DataFrame]:
         "wd_external_ids": spark.createDataFrame(
             w.external_ids, "qid string, id_type string, value string"),
     }
+    return {k: v.localCheckpoint(eager=True) for k, v in dims.items()}
 
 
 def interleaved_corpus(

@@ -79,8 +79,10 @@ class StageRunner:
             self.metrics.append(meta)
             return out.drop("subj_bucket") if "subj_bucket" in out.columns else out
         # no checkpoint dir: truncate lineage in memory so downstream plans
-        # stay small (Catalyst analysis cost grows with plan depth)
-        df = build().localCheckpoint(eager=False)
+        # stay small (Catalyst analysis cost grows with plan depth) and each
+        # stage materializes exactly once (eager = honest per-stage walls,
+        # no re-execution through downstream branches)
+        df = build().localCheckpoint(eager=True)
         self.metrics.append({"stage": name, "fingerprint": fingerprint,
                              "wall_sec": round(time.time() - t0, 2),
                              "reused": False})
@@ -137,8 +139,8 @@ def run_pipeline(
         "mentions", fp,
         lambda: detect_mentions(spark, docs, dims["wd_entities"]),
     )
-    persons = linked_qids(mentions, dims["wd_entities"], "person")
-    works = linked_qids(mentions, dims["wd_entities"], "work")
+    persons = linked_qids(mentions, dims["wd_entities"], "person").localCheckpoint(eager=True)
+    works = linked_qids(mentions, dims["wd_entities"], "work").localCheckpoint(eager=True)
 
     authors_t = runner.run(
         "authors_triples", fp,
