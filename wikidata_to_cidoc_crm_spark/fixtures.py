@@ -376,17 +376,28 @@ def world_to_spark(spark: SparkSession, w: World) -> dict[str, DataFrame]:
          for e in w.entities],
         ENTITY_SCHEMA,
     )
+    import pandas as pd
+
+    def arrow_df(rows, cols, schema):
+        # Arrow conversion path — much cheaper driver-side than row pickling
+        pdf = pd.DataFrame(rows, columns=cols)
+        return spark.createDataFrame(pdf, schema=schema)
+
     dims = {
         "documents_interleaved": docs,
         "wd_entities": ents,
-        "wd_statements": spark.createDataFrame(w.statements, STATEMENT_SCHEMA),
-        "wd_labels": spark.createDataFrame(w.labels, LABEL_SCHEMA),
-        "wd_subclass_closure": spark.createDataFrame(
-            w.subclass_closure, "qid string, ancestor string"),
-        "wd_property_closure": spark.createDataFrame(
-            w.property_closure, "pid string, base_pid string"),
-        "wd_external_ids": spark.createDataFrame(
-            w.external_ids, "qid string, id_type string, value string"),
+        "wd_statements": arrow_df(
+            w.statements,
+            ["subject_qid", "pid", "object_value", "object_is_entity", "object_lang"],
+            STATEMENT_SCHEMA),
+        "wd_labels": arrow_df(w.labels, ["qid", "lang", "label"], LABEL_SCHEMA),
+        "wd_subclass_closure": arrow_df(
+            w.subclass_closure, ["qid", "ancestor"], "qid string, ancestor string"),
+        "wd_property_closure": arrow_df(
+            w.property_closure, ["pid", "base_pid"], "pid string, base_pid string"),
+        "wd_external_ids": arrow_df(
+            w.external_ids, ["qid", "id_type", "value"],
+            "qid string, id_type string, value string"),
     }
     return {k: v.localCheckpoint(eager=True) for k, v in dims.items()}
 

@@ -80,11 +80,17 @@ class StageRunner:
             return out.drop("subj_bucket") if "subj_bucket" in out.columns else out
         # no checkpoint dir: truncate lineage in memory so downstream plans
         # stay small (Catalyst analysis cost grows with plan depth) and each
-        # stage materializes exactly once (eager = honest per-stage walls,
-        # no re-execution through downstream branches)
-        df = build().localCheckpoint(eager=True)
+        # stage materializes exactly once. plan_sec = driver-side plan
+        # construction (fixed cost, amortizes at scale); exec_sec = the
+        # stage's distributed execution (the BASELINE.md-protocol number).
+        df = build()
+        t1 = time.time()
+        df = df.localCheckpoint(eager=True)
+        t2 = time.time()
         self.metrics.append({"stage": name, "fingerprint": fingerprint,
-                             "wall_sec": round(time.time() - t0, 2),
+                             "plan_sec": round(t1 - t0, 2),
+                             "exec_sec": round(t2 - t1, 2),
+                             "wall_sec": round(t2 - t0, 2),
                              "reused": False})
         return df
 
