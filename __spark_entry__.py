@@ -209,6 +209,43 @@ def _a7_exists_flags(spark, sf):
     )
 
 
+def _w1_order_limit(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select("o_orderkey",
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"))
+    )
+
+
+def _w5_running_sum(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .select("o_custkey", "o_orderkey",
+                F.sum("cents").over(w).alias("running_cents"))
+    )
+
+
+def _a9_pivot_status(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_custkey",
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
 def _a1_group_to_set(spark, sf):
     e = _t(spark, sf, "events")
     return e.groupBy("user_id").agg(
@@ -434,7 +471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_pair_join": _j8_pair_join,
         "j10_multi_hop": _j10_multi_hop,
         "j16_first_last_order": _j16_first_last_order,
+        # windows / sorts / limits (§2.5)
+        "w1_order_limit": _w1_order_limit,
+        "w5_running_sum": _w5_running_sum,
         # aggregations (§2.4)
+        "a9_pivot_status": _a9_pivot_status,
         "a1_group_to_set": _a1_group_to_set,
         "a2_min_agg": _a2_min_agg,
         "a3_having_count_distinct": _a3_having_count_distinct,
@@ -546,6 +587,27 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_order,
                    max(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_order
             FROM ranked GROUP BY 1
+        """,
+        "w1_order_limit": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+        """,
+        "w5_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_cents
+            FROM orders
+        """,
+        "a9_pivot_status": """
+            SELECT o_custkey,
+                   count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                   count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+            FROM orders GROUP BY 1
         """,
         "a1_group_to_set": """
             SELECT user_id,

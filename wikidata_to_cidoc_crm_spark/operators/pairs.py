@@ -22,46 +22,47 @@ from pyspark.sql import functions as F
 
 def pair_join(
     feat_works: DataFrame,
-    key: str = "tgt",
+    key: str | list[str] = "tgt",
     work: str = "work",
     salt_partitions: int | None = None,
 ) -> DataFrame:
     """(key, work) → (key, w1, w2) with w1 < w2 (unordered pairs).
 
-    With ``salt_partitions`` the left side is repartitioned on
-    (key, salt) before the join to spread hub keys; correctness is
-    unchanged because the join key is still ``key`` alone.
+    ``key`` may be a composite (list of columns). With ``salt_partitions``
+    the left side is repartitioned on (key, salt) before the join to spread
+    hub keys; correctness is unchanged because the join key is still
+    ``key`` alone.
     """
-    a = feat_works.select(F.col(key).alias("_k"), F.col(work).alias("w1")).distinct()
-    b = feat_works.select(F.col(key).alias("_k"), F.col(work).alias("w2")).distinct()
+    keys = [key] if isinstance(key, str) else list(key)
+    a = feat_works.select(*keys, F.col(work).alias("w1")).distinct()
+    b = feat_works.select(*keys, F.col(work).alias("w2")).distinct()
     if salt_partitions:
-        a = a.repartition(salt_partitions, "_k", F.pmod(F.xxhash64("w1"), F.lit(16)))
-    pairs = a.join(b, "_k").filter(F.col("w1") < F.col("w2"))
-    return pairs.select(F.col("_k").alias(key), "w1", "w2")
+        a = a.repartition(salt_partitions, *keys, F.pmod(F.xxhash64("w1"), F.lit(16)))
+    pairs = a.join(b, keys).filter(F.col("w1") < F.col("w2"))
+    return pairs.select(*keys, "w1", "w2")
 
 
 def first_partner(
     feat_works: DataFrame,
-    key: str = "tgt",
+    key: str | list[str] = "tgt",
     work: str = "work",
 ) -> DataFrame:
     """(key, work, rel_w1, rel_w2): the canonical pair of the *first*
     combination each work appears in (reference's first-pair-wins rule)."""
-    w = Window.partitionBy(key)
-    fw = feat_works.select(key, work).distinct()
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys)
+    fw = feat_works.select(*keys, work).distinct()
     fw = fw.withColumn("_min", F.min(work).over(w))
     second = (
         fw.filter(F.col(work) > F.col("_min"))
-        .groupBy(key)
+        .groupBy(*keys)
         .agg(F.min(work).alias("_second"))
     )
-    fw = fw.join(second, key, "left")
+    fw = fw.join(second, keys, "left")
     return fw.select(
-        key,
+        *keys,
         F.col(work).alias("work"),
-        F.when(F.col(work) == F.col("_min"), F.col("_min"))
-        .otherwise(F.col("_min"))
-        .alias("rel_w1"),
+        F.col("_min").alias("rel_w1"),
         F.when(F.col(work) == F.col("_min"), F.col("_second"))
         .otherwise(F.col(work))
         .alias("rel_w2"),

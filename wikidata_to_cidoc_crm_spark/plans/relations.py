@@ -146,27 +146,59 @@ def relations_stage(
             F.col("qid").alias("cls"))
         return p31.join(F.broadcast(anc), "cls", "left_semi").select("tgt").distinct()
 
-    # --- family edge tables ---
-    fw: dict[str, DataFrame] = {}
-    for fam, bases, ancestors, *_rest in FAMILIES:
-        e = edges(bases)
-        if fam == "character":
-            typed_chars = edges(["P180", "P921"]).join(
-                typed(("Q3658341", "Q15632617")), "tgt", "left_semi")
-            e = e.unionByName(typed_chars).distinct()
-        elif ancestors:
-            e = e.join(typed(ancestors), "tgt", "left_semi")
-        fw[fam] = e
+    # --- ONE tagged edge table for all six families (single statements
+    # scan routed through a broadcast (pid → family) dim; type requirements
+    # via a broadcast (ancestor → family) dim). This collapses the six
+    # per-family pipelines into one qualify + one pair join + one
+    # first-partner window — far fewer jobs, and at scale one shuffle
+    # instead of six. ---
+    fam_bases = {f[0]: f[1] for f in FAMILIES}
+    fam_bases["character_typed"] = ["P180", "P921"]  # relations.py:700-707
+    pid_fam = None
+    for fam, bases in fam_bases.items():
+        part = pids_of(bases).withColumn("family", F.lit(fam))
+        pid_fam = part if pid_fam is None else pid_fam.unionByName(part)
+    typed_req = {
+        "plot": ["Q42109240"], "topic": ["Q26256810"], "person_ref": ["Q5"],
+        "place_ref": ["Q2221906"], "character_typed": ["Q3658341", "Q15632617"],
+    }
+    anc_fam = spark.createDataFrame(
+        [(a, f) for f, ancs in typed_req.items() for a in ancs],
+        "ancestor string, family string")
+    p31 = statements.filter(F.col("pid") == "P31").select(
+        F.col("subject_qid").alias("tgt"), F.col("object_value").alias("cls"))
+    typed_pairs = (
+        p31.join(F.broadcast(subclass_closure.withColumnRenamed("qid", "cls")), "cls")
+        .join(F.broadcast(anc_fam), "ancestor")
+        .select("tgt", "family")
+        .distinct()
+    )
+    fw_all0 = (
+        statements.filter(F.col("object_is_entity"))
+        .join(F.broadcast(pid_fam), "pid")
+        .select("family", F.col("subject_qid").alias("work"),
+                F.col("object_value").alias("tgt"))
+        .join(F.broadcast(W.withColumnRenamed("qid", "work")), "work", "left_semi")
+    )
+    fw_typed = fw_all0.filter(F.col("family").isin(list(typed_req))).join(
+        typed_pairs, ["tgt", "family"], "left_semi")
+    fw_untyped = fw_all0.filter(F.col("family").isin(["motif", "character"]))
+    fw_all = (
+        fw_typed.unionByName(fw_untyped)
+        .withColumn("family",
+                    F.when(F.col("family") == "character_typed", "character")
+                    .otherwise(F.col("family")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     # qualifying features: shared by ≥2 works (HAVING COUNT(DISTINCT ?wrk)>1,
     # relations.py:371-372 / len(works)<2 guards)
-    qfw: dict[str, DataFrame] = {}
-    for fam in fw:
-        q = (
-            fw[fam].groupBy("tgt").agg(F.countDistinct("work").alias("n"))
-            .filter(F.col("n") >= 2).select("tgt")
-        )
-        qfw[fam] = fw[fam].join(q, "tgt", "left_semi").localCheckpoint(eager=False)
+    q = (
+        fw_all.groupBy("family", "tgt").agg(F.countDistinct("work").alias("n"))
+        .filter(F.col("n") >= 2).select("family", "tgt")
+    )
+    qfw_all = fw_all.join(q, ["family", "tgt"], "left_semi").localCheckpoint(eager=False)
 
     # work references (relations.py:616-669): tgt ∈ W too; no ≥2 requirement
     workref = (
@@ -202,24 +234,10 @@ def relations_stage(
         .localCheckpoint(eager=False)
     )
 
-    # --- pairs per family (J8) + first-pair-wins partner (acts) ---
-    pair_dfs = []
-    act_dfs = []
-    for fam, _b, _a, path, cls, flabel, alabel, p67, prio in FAMILIES:
-        pairs = pair_join(qfw[fam], key="tgt", work="work").withColumn("family", F.lit(fam))
-        pair_dfs.append(pairs)
-        acts = first_partner(qfw[fam], key="tgt", work="work").withColumn(
-            "family", F.lit(fam))
-        act_dfs.append(acts)
-
-    all_pairs = pair_dfs[0]
-    for p in pair_dfs[1:]:
-        all_pairs = all_pairs.unionByName(p)
-    all_pairs = all_pairs.localCheckpoint(eager=False)
-
-    fam_acts = act_dfs[0]
-    for a in act_dfs[1:]:
-        fam_acts = fam_acts.unionByName(a)
+    # --- pairs for all families at once (J8) + first-pair-wins partner ---
+    all_pairs = pair_join(qfw_all, key=["family", "tgt"], work="work") \
+        .localCheckpoint(eager=False)
+    fam_acts = first_partner(qfw_all, key=["family", "tgt"], work="work")
 
     # workref pairs/acts: rel per (src, tgt); act key {tgt}_{src}
     workref_pairs = workref.select(
@@ -270,23 +288,19 @@ def relations_stage(
         F.lit(0).alias("prio"),
     )
 
-    # --- acts (family + workref) ---
+    # --- acts (family + workref); per-family label/priority as expressions ---
     fam_acts = _attach_label(fam_acts, lab, "tgt", "tlbl")
     fam_acts = _attach_label(fam_acts, lab, "work", "wlbl")
     fam_meta = {f[0]: (f[3], f[4], f[5], f[6], f[7], f[8]) for f in FAMILIES}
-    act_parts = []
-    for fam, (path, cls, flabel, alabel, p67, prio) in fam_meta.items():
-        part = fam_acts.filter(F.col("family") == fam).select(
-            "tgt", "work", "rel_w1", "rel_w2", "tlbl", "wlbl",
-            F.lit(fam).alias("family"),
-            F.lit(path.split("/")[-1]).alias("typ"),
-            F.format_string(alabel, "tlbl", "wlbl").alias("alabel"),
-            F.lit(prio).alias("prio"),
-        )
-        act_parts.append(part)
-    acts = act_parts[0]
-    for a in act_parts[1:]:
-        acts = acts.unionByName(a)
+    prio_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[8]))])
+    is_ref_fam = F.col("family").isin(["person_ref", "place_ref"])
+    acts = fam_acts.select(
+        "tgt", "work", "rel_w1", "rel_w2", "tlbl", "wlbl", "family",
+        F.col("family").alias("typ"),
+        F.when(is_ref_fam, F.format_string("Reference to %s in %s", "tlbl", "wlbl"))
+        .otherwise(F.format_string("%s in %s", "tlbl", "wlbl")).alias("alabel"),
+        prio_map[F.col("family")].alias("prio"),
+    )
 
     workref_acts = _attach_label(workref_pairs, lab, "tgt", "tlbl")
     workref_acts = _attach_label(workref_acts, lab, "src", "wlbl")
@@ -420,28 +434,42 @@ def relations_stage(
              ref="relations.py:552-558"),
     ])
 
-    # --- feature nodes ---
+    # --- feature nodes: one emission over the tagged (family, tgt) set ---
     feat_triple_parts = []
-    for fam, (path, cls, flabel, alabel, p67k, prio) in fam_meta.items():
-        ftgts = qfw[fam].select("tgt").distinct()
-        ftgts = _attach_label(ftgts, lab, "tgt", "tlbl").withColumn(
-            "feat_uri", F.concat(F.lit(SAPPHO), F.lit(path + "/"), "tgt"))
-        rules = [
-            Rule(F.col("feat_uri"), RDF_TYPE, cls, ref="relations.py:182-203"),
-            Rule(F.col("feat_uri"), RDFS_LABEL, F.format_string(flabel, "tlbl"),
-                 obj_is_iri=False, lang="en", ref="relations.py:182-203"),
-        ]
-        if fam in ("plot", "topic", "motif", "character"):
-            rules.append(Rule(F.col("feat_uri"), OWL_SAMEAS, wd_entity_uri("tgt"),
-                              ref="relations.py:196-198"))
-            rules += _identifier_rules(F.col("feat_uri"), "tgt")
-        feat_triple_parts.append(emit_triples(ftgts, rules))
+    ftgts = qfw_all.select("family", "tgt").distinct()
+    ftgts = _attach_label(ftgts, lab, "tgt", "tlbl").withColumn(
+        "feat_uri", F.concat(F.lit(SAPPHO + "feature/"), "family", F.lit("/"), "tgt"))
+    cls_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[4]))])
+    flabel_col = (
+        F.when(F.col("family") == "plot", F.format_string("%s (plot)", "tlbl"))
+        .when(F.col("family") == "topic", F.format_string("%s (topic)", "tlbl"))
+        .when(F.col("family") == "motif", F.format_string("%s (motif)", "tlbl"))
+        .when(F.col("family") == "person_ref",
+              F.format_string("Reference to %s (person)", "tlbl"))
+        .when(F.col("family") == "place_ref",
+              F.format_string("Reference to %s (place)", "tlbl"))
+        .otherwise(F.col("tlbl"))  # character (no suffix, relations.py:737)
+    )
+    is_entity_feat = F.col("family").isin(["plot", "topic", "motif", "character"])
+    feat_triple_parts.append(emit_triples(ftgts, [
+        Rule(F.col("feat_uri"), RDF_TYPE, cls_map[F.col("family")],
+             ref="relations.py:182-203"),
+        Rule(F.col("feat_uri"), RDFS_LABEL, flabel_col,
+             obj_is_iri=False, lang="en", ref="relations.py:182-203"),
+        Rule(F.col("feat_uri"), OWL_SAMEAS, wd_entity_uri("tgt"),
+             cond=is_entity_feat, ref="relations.py:196-198"),
+    ] + [
+        Rule(r.subj, r.pred, r.obj, obj_is_iri=r.obj_is_iri, lang=r.lang,
+             dtype=r.dtype, cond=is_entity_feat, ref=r.ref)
+        for r in _identifier_rules(F.col("feat_uri"), "tgt")
+    ]))
 
     # person/place entity nodes for the *_ref families (relations.py:528-537,
     # 582-591) + person nodes & person_ref features for person-characters
     # (ensure_person_reference, relations.py:670-684)
-    person_tgts = qfw["person_ref"].select("tgt").distinct()
-    char_person_tgts = qfw["character"].select("tgt").distinct().join(
+    person_tgts = qfw_all.filter(F.col("family") == "person_ref").select("tgt").distinct()
+    char_person_tgts = qfw_all.filter(F.col("family") == "character") \
+        .select("tgt").distinct().join(
         char_persons, F.col("tgt") == F.col("cq"), "left_semi")
     person_nodes = person_tgts.unionByName(char_person_tgts).distinct()
     person_nodes = _attach_label(person_nodes, lab, "tgt", "tlbl")
@@ -463,7 +491,9 @@ def relations_stage(
              obj_is_iri=False, lang="en", ref="relations.py:683"),
     ]))
 
-    place_tgts = _attach_label(qfw["place_ref"].select("tgt").distinct(), lab, "tgt", "tlbl")
+    place_tgts = _attach_label(
+        qfw_all.filter(F.col("family") == "place_ref").select("tgt").distinct(),
+        lab, "tgt", "tlbl")
     feat_triple_parts.append(emit_triples(place_tgts, [
         Rule(mint("place", "tgt"), RDF_TYPE, ECRM + "E53_Place",
              ref="relations.py:584-591"),
