@@ -5,8 +5,9 @@ The engine-added stage in front of the reference's mapping logic
 matched against a **broadcast QID dictionary** (surface form → QID). The
 reference's analogue is the VALUES-pinned SPARQL lookup (authors.py:189);
 here the dictionary is a Spark broadcast and matching runs inside
-``mapInPandas`` — one compiled automaton per Python worker, pandas
-``str.extractall`` over each Arrow batch, **no per-row Python**.
+``mapInPandas`` — one token-hash index per Python worker (leftmost-longest,
+Aho-Corasick-equivalent for word-boundary surfaces, dictionary-size
+independent per token) applied per Arrow batch.
 
 Scale notes: the dictionary is dimension-sized (≤ millions of surfaces) so
 it broadcasts; the document side streams through map tasks with no shuffle.
@@ -68,45 +69,57 @@ def detect_mentions(
     bc = spark.sparkContext.broadcast(surfaces)
 
     def match_batches(batches):
-        import pandas as pd  # noqa: F401 (worker-side)
+        import pandas as pd
 
         key = id(bc)
         cached = _PATTERN_CACHE.get(key)
         if cached is None:
-            table = {s: (q, sc) for s, q, sc in bc.value}
-            # longest-first alternation so overlapping surfaces prefer the
-            # longer match (same behavior as a leftmost-longest automaton)
-            alts = sorted(table, key=len, reverse=True)
-            rx = re.compile(
-                r"(?<![\w])("
-                + "|".join(re.escape(s) for s in alts)
-                + r")(?![\w])"
-            ) if alts else None
-            cached = (rx, table)
+            # token-hash matcher: index surfaces by first token; at each text
+            # position try candidate lengths longest-first (leftmost-longest,
+            # regex/Aho-Corasick-equivalent for word-boundary matching) —
+            # O(tokens × candidates-at-token), dictionary-size independent.
+            table: dict[tuple, tuple] = {}
+            by_first: dict[str, list] = {}
+            for s, q, sc in bc.value:
+                toks = tuple(t for t in re.split(r"\W+", s) if t)
+                if not toks:
+                    continue
+                if toks not in table:
+                    table[toks] = (s, q, sc)
+                    by_first.setdefault(toks[0], []).append(toks)
+            for lst in by_first.values():
+                lst.sort(key=len, reverse=True)
+            cached = (by_first, table)
             _PATTERN_CACHE[key] = cached
-        rx, table = cached
+        by_first, table = cached
+        tok_rx = re.compile(r"\W+")
         for pdf in batches:
-            if rx is None or pdf.empty:
-                yield pdf.iloc[0:0].assign(surface="", qid="", score=0.0)[
-                    ["doc_id", "span_offset", "surface", "qid", "score"]
-                ]
-                continue
-            hits = pdf["text"].str.extractall(rx)
-            if hits.empty:
-                out = pdf.iloc[0:0].copy()
-                out = out[["doc_id", "span_offset"]]
-                out["surface"] = pd.Series(dtype="object")
-                out["qid"] = pd.Series(dtype="object")
-                out["score"] = pd.Series(dtype="float64")
-                yield out
-                continue
-            hits = hits.reset_index()  # columns: level_0 (row idx), match, 0
-            hits = hits.rename(columns={0: "surface"})
-            base = pdf[["doc_id", "span_offset"]].reset_index()
-            out = hits.merge(base, left_on="level_0", right_on="index")
-            out["qid"] = out["surface"].map(lambda s: table[s][0])
-            out["score"] = out["surface"].map(lambda s: table[s][1])
-            yield out[["doc_id", "span_offset", "surface", "qid", "score"]]
+            rows_doc, rows_off, rows_surface, rows_qid, rows_score = [], [], [], [], []
+            for doc_id, off, text in zip(pdf["doc_id"], pdf["span_offset"], pdf["text"]):
+                toks = [t for t in tok_rx.split(text) if t]
+                i, n = 0, len(toks)
+                while i < n:
+                    cands = by_first.get(toks[i])
+                    if cands:
+                        for cand in cands:
+                            ln = len(cand)
+                            if i + ln <= n and tuple(toks[i:i + ln]) == cand:
+                                s, q, sc = table[cand]
+                                rows_doc.append(doc_id)
+                                rows_off.append(off)
+                                rows_surface.append(s)
+                                rows_qid.append(q)
+                                rows_score.append(sc)
+                                i += ln - 1
+                                break
+                    i += 1
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows_doc, dtype="object"),
+                "span_offset": pd.Series(rows_off, dtype="int32"),
+                "surface": pd.Series(rows_surface, dtype="object"),
+                "qid": pd.Series(rows_qid, dtype="object"),
+                "score": pd.Series(rows_score, dtype="float64"),
+            })
 
     text_spans = (
         docs.select("doc_id", F.explode("spans").alias("s"))

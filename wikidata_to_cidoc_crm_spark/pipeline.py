@@ -148,19 +148,24 @@ def run_pipeline(
     persons = linked_qids(mentions, dims["wd_entities"], "person").localCheckpoint(eager=True)
     works = linked_qids(mentions, dims["wd_entities"], "work").localCheckpoint(eager=True)
 
+    # per-stage dedup deferred to merge: the merge dedup restores set
+    # semantics over the union anyway — one wide shuffle instead of four
     authors_t = runner.run(
         "authors_triples", fp,
-        lambda: authors_stage(spark, persons, dims["wd_statements"], dims["wd_labels"]),
+        lambda: authors_stage(spark, persons, dims["wd_statements"],
+                              dims["wd_labels"], dedupe=False),
     )
     works_t = runner.run(
         "works_triples", fp,
-        lambda: works_stage(spark, works, dims["wd_statements"], dims["wd_labels"]),
+        lambda: works_stage(spark, works, dims["wd_statements"],
+                            dims["wd_labels"], dedupe=False),
     )
     relations_t = runner.run(
         "relations_triples", fp,
         lambda: relations_stage(
             spark, works, dims["wd_statements"], dims["wd_labels"],
-            dims["wd_subclass_closure"], dims["wd_property_closure"]),
+            dims["wd_subclass_closure"], dims["wd_property_closure"],
+            dedupe=False),
     )
     merged = runner.run(
         "merged", fp,

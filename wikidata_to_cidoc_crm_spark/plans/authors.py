@@ -219,9 +219,12 @@ def authors_stage(
     statements: DataFrame,
     labels: DataFrame,
     include_header: bool = True,
+    dedupe: bool = True,
 ) -> DataFrame:
     wide = wide_authors(person_qids, statements, labels)
     triples = emit_triples(wide, author_rules())
     if include_header:
         triples = triples.unionByName(authors_header(spark))
-    return dedupe_triples(triples)
+    # dedupe=False lets the pipeline defer set semantics to the merge stage
+    # (one shuffle instead of four); the triple *set* is identical
+    return dedupe_triples(triples) if dedupe else triples

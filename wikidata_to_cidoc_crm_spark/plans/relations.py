@@ -121,6 +121,7 @@ def relations_stage(
     subclass_closure: DataFrame,
     property_closure: DataFrame,
     include_header: bool = True,
+    dedupe: bool = True,
 ) -> DataFrame:
     lab = _label_lookup(labels)
     W = work_qids.select("qid").distinct()
@@ -582,4 +583,4 @@ def relations_stage(
             (ID_TYPE, OWL_SAMEAS, WD + "Q43649390"),
         ]))
         out = out.unionByName(header)
-    return dedupe_triples(out)
+    return dedupe_triples(out) if dedupe else out

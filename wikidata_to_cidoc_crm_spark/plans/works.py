@@ -382,9 +382,10 @@ def works_stage(
     statements: DataFrame,
     labels: DataFrame,
     include_header: bool = True,
+    dedupe: bool = True,
 ) -> DataFrame:
     wide = wide_works(work_qids, statements, labels)
     triples = emit_triples(wide, work_rules())
     if include_header:
         triples = triples.unionByName(works_header(spark))
-    return dedupe_triples(triples)
+    return dedupe_triples(triples) if dedupe else triples
