@@ -27,6 +27,7 @@ from .invariants import assert_span_invariant
 from .linking import detect_mentions, linked_qids
 from .plans.align import align_stage
 from .plans.authors import authors_stage
+from .plans.canonicalize import canonicalize_stage
 from .plans.merge import merge_stage
 from .plans.relations import relations_stage
 from .plans.works import works_stage
@@ -171,9 +172,13 @@ def run_pipeline(
         "merged", fp,
         lambda: merge_stage(spark, [authors_t, works_t, relations_t]),
     )
+    canonical = runner.run(
+        "canonicalized", fp,
+        lambda: canonicalize_stage(spark, merged),
+    )
     aligned = runner.run(
         "aligned", fp,
-        lambda: align_stage(spark, merged, dims["wd_external_ids"]),
+        lambda: align_stage(spark, canonical, dims["wd_external_ids"]),
     )
     aligned._pipeline_metrics = runner.metrics  # introspection for bench
     return aligned

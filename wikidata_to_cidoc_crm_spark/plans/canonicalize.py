@@ -1,0 +1,101 @@
+"""Canonicalization stage — duplicate-entity resolution (north rule).
+
+Engine-added stage (the reference assumes Wikidata QIDs are already
+canonical; a 10^12-document corpus linked against a noisy dictionary is
+not): entities of the same class whose labels are near-duplicates are
+blocked via MinHash-LSH over label shingles, verified by exact Jaccard,
+clustered with connected components, and every triple's subject/object is
+rewritten to the cluster representative (minimum URI). ``owl:sameAs``
+links from the representative to the merged URIs record the merge.
+
+Scale notes: LSH banding keeps candidate generation near-linear (no
+all-pairs); the rewrite is two hash joins of the (small) canonical map
+against the triple table — broadcast when the map is dimension-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import OWL_SAMEAS, RDF_TYPE, RDFS_LABEL, TRIPLE_KEY
+from ..operators.components import connected_components
+from ..operators.dedup import minhash_lsh_dedup
+
+
+def entity_labels(triples: DataFrame, classes: list[str]) -> DataFrame:
+    """(uri, label) for instances of the given classes."""
+    typed = (
+        triples.filter((F.col("pred") == RDF_TYPE) & F.col("obj").isin(classes))
+        .select(F.col("subj").alias("uri"), F.col("obj").alias("cls"))
+        .distinct()
+    )
+    labels = triples.filter(F.col("pred") == RDFS_LABEL).select(
+        F.col("subj").alias("uri"), F.col("obj").alias("label"))
+    return typed.join(labels, "uri").select("uri", "cls", "label")
+
+
+def canonical_map(
+    triples: DataFrame,
+    classes: list[str],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(uri, canonical): clusters of near-duplicate same-class entities.
+
+    Blocking = MinHash-LSH over label word-shingles; verification = exact
+    Jaccard ≥ threshold; clustering = connected components; representative
+    = min URI (deterministic).
+    """
+    ents = entity_labels(triples, classes)
+    # class-scoped ids so cross-class labels never merge
+    docs = ents.select(
+        F.concat_ws("\x1f", "cls", "uri").alias("doc_id"),
+        F.col("label").alias("text"),
+    )
+    pairs = minhash_lsh_dedup(docs, id_col="doc_id", text_col="text",
+                              num_hashes=16, bands=8, threshold=threshold, k=2)
+    edges = pairs.select(
+        F.element_at(F.split("a", "\x1f"), -1).alias("src"),
+        F.element_at(F.split("b", "\x1f"), -1).alias("dst"),
+    )
+    comp = connected_components(edges)
+    return comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("uri"), F.col("component").alias("canonical"))
+
+
+def canonicalize_stage(
+    spark: SparkSession,
+    triples: DataFrame,
+    classes: list[str] | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Rewrite triples through the canonical map; add owl:sameAs merge links."""
+    from ..model import ECRM, LRMOO
+
+    classes = classes or [ECRM + "E21_Person", ECRM + "E53_Place",
+                          LRMOO + "F2_Expression"]
+    cmap = canonical_map(triples, classes, threshold).localCheckpoint(eager=True)
+    if cmap.isEmpty():
+        return triples
+    cm_s = cmap.withColumnRenamed("uri", "subj").withColumnRenamed("canonical", "_cs")
+    cm_o = cmap.withColumnRenamed("uri", "obj").withColumnRenamed("canonical", "_co")
+    out = (
+        triples.join(F.broadcast(cm_s), "subj", "left")
+        .join(F.broadcast(cm_o), "obj", "left")
+        .select(
+            F.coalesce("_cs", "subj").alias("subj"),
+            "pred",
+            F.when(F.col("obj_is_iri"), F.coalesce("_co", "obj"))
+            .otherwise(F.col("obj")).alias("obj"),
+            "obj_is_iri", "lang", "dtype",
+        )
+    )
+    merge_links = cmap.select(
+        F.col("canonical").alias("subj"),
+        F.lit(OWL_SAMEAS).alias("pred"),
+        F.col("uri").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("dtype"),
+    )
+    return out.unionByName(merge_links).dropDuplicates(TRIPLE_KEY)
