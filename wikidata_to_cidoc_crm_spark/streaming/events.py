@@ -31,5 +31,12 @@ def windowed_event_counts(
 
 
 def stream_from_parquet(spark, path: str, schema) -> DataFrame:
-    """readStream wrapper for file-based micro-batch ingest."""
-    return spark.readStream.schema(schema).parquet(path)
+    """readStream wrapper for file-based micro-batch ingest.
+
+    Event-time columns must be TIMESTAMP (with local tz) for watermarks —
+    parquet NTZ timestamps are cast through."""
+    df = spark.readStream.schema(schema).parquet(path)
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
