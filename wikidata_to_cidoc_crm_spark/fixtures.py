@@ -200,6 +200,8 @@ def make_world(
         kind = kinds[k % 4]
         qid = f"Q{50000 + k}"
         label = f"{kind.capitalize()} {_WORK_WORDS[k % len(_WORK_WORDS)]}"
+        if k >= len(_WORK_WORDS):
+            label = f"{label} {k // len(_WORK_WORDS)}"
         w.features.append({"qid": qid, "kind": kind, "label": label})
         w.labels.append((qid, "en", label))
         cls = {"plot": Q_STOFF, "topic": Q_TOPIC_CLASS,
