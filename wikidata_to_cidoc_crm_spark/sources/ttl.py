@@ -17,7 +17,7 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _TOKEN = re.compile(
     r"""
       (?P<iri><[^>]*>)
-    | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^[^\s;,.]+)?)
+    | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^(?:<[^>]*>|[^\s;,.]+))?)
     | (?P<punct>[;,.])
     | (?P<pname>[^\s;,]+)
     """,
@@ -71,7 +71,7 @@ def parse_ttl(text: str) -> set[tuple]:
 
     def parse_object(tok: str):
         if tok.startswith('"'):
-            m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z-]+)|\^\^(\S+))?$', tok)
+            m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z-]+)|\^\^(<[^>]*>|\S+))?$', tok)
             val = m.group(1).replace('\\"', '"').replace("\\\\", "\\")
             lang = m.group(2)
             dtype = expand(m.group(3)) if m.group(3) else None
@@ -130,7 +130,7 @@ def write_ttl(triples, path: str) -> None:
         return f'"{s}"'
 
     with open(path, "w", encoding="utf-8") as f:
-        for t in sorted(triples):
+        for t in sorted(triples, key=lambda t: tuple("" if v is None else str(v) for v in t)):
             s, p, o = t[0], t[1], t[2]
             lang = t[3] if len(t) > 3 else None
             dtype = t[4] if len(t) > 4 else None
