@@ -455,7 +455,19 @@ def _kg_media_features(spark, sf):
     dims = world_to_spark(spark, world)
     corpus = interleaved_corpus(spark, f"{sf}/documents.parquet", dims["wd_entities"])
     media = synthesize_media_table(corpus.select("doc_id", "spans"))
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    # contract projection: the driver harness hashes values with pandas,
+    # which cannot sort/hash array cells — project the feature vector to a
+    # scalar L2 norm here; the library API keeps the array column.
+    return feats.select(
+        "media_ref", "kind", "n_bytes", "ok",
+        F.round(
+            F.sqrt(F.aggregate(
+                "feature", F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"))),
+            4,
+        ).alias("feature_norm"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -534,7 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "p4_year_extract": """
             SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
                    count(*) AS n_items,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
             FROM lineitem GROUP BY 1
         """,
         "p6_coalesce_chain": """
@@ -568,7 +580,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j10_multi_hop": """
             SELECT r_name, count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -595,11 +607,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w5_running_sum": """
             SELECT o_custkey, o_orderkey,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                      PARTITION BY o_custkey
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS running_cents
+                   ) AS BIGINT) AS running_cents
             FROM orders
         """,
         "a9_pivot_status": """
@@ -770,7 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
         """,
     }

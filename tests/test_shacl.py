@@ -1,0 +1,132 @@
+"""SHACL-derived validation layer (reference: authors.py:413-431,
+works.py:600-619, relations.py:908-927 + shapes/*.ttl).
+
+1. engine unit test — planted violations are caught, each by the right
+   constraint class;
+2. conformance gates — each mapping stage's output validates clean against
+   the transcription of its module's shape file (the reference's own
+   validation step).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_to_cidoc_crm_spark.fixtures import make_world, world_to_spark
+from wikidata_to_cidoc_crm_spark.model import (
+    ECRM, OWL_SAMEAS, RDF_TYPE, RDFS_LABEL, TRIPLE_SCHEMA, SAPPHO)
+from wikidata_to_cidoc_crm_spark.shacl import Prop, Shape, validate, validate_summary
+from wikidata_to_cidoc_crm_spark.shapes_spec import (
+    AUTHOR_SHAPES, RELATIONS_SHAPES, WORK_SHAPES)
+
+E21 = ECRM + "E21_Person"
+E42 = ECRM + "E42_Identifier"
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def test_engine_catches_planted_violations(spark):
+    g = _triples(spark, [
+        # ok person: 1 en label, 1 wd sameAs
+        ("p/ok", RDF_TYPE, E21, True, None, None),
+        ("p/ok", RDFS_LABEL, "Ok Person", False, "en", None),
+        ("p/ok", OWL_SAMEAS, "http://www.wikidata.org/entity/Q1", True, None, None),
+        # missing label + sameAs (2 minCount violations)
+        ("p/min", RDF_TYPE, E21, True, None, None),
+        # two labels (maxCount), sameAs not wd (startsWith), literal sameAs (nodeKind)
+        ("p/max", RDF_TYPE, E21, True, None, None),
+        ("p/max", RDFS_LABEL, "A", False, "en", None),
+        ("p/max", RDFS_LABEL, "B", False, "en", None),
+        ("p/max", OWL_SAMEAS, "https://example.org/x", True, None, None),
+        # wrong language label
+        ("p/lang", RDF_TYPE, E21, True, None, None),
+        ("p/lang", RDFS_LABEL, "Nur Deutsch", False, "de", None),
+        ("p/lang", OWL_SAMEAS, "http://www.wikidata.org/entity/Q2", True, None, None),
+        # identifier with bad pattern
+        ("i/bad", RDF_TYPE, E42, True, None, None),
+        ("i/bad", RDFS_LABEL, "NotAQid", False, None, None),
+    ])
+    shapes = [
+        Shape("P", "class", E21, (
+            Prop(RDFS_LABEL, language_in=("en",), min_count=1, max_count=1),
+            Prop(OWL_SAMEAS, node_kind="IRI", min_count=1, max_count=1,
+                 starts_with="http://www.wikidata.org/entity/Q"),
+        )),
+        Shape("I", "class", E42, (
+            Prop(RDFS_LABEL, pattern="^Q[0-9]+$", min_count=1, max_count=1),
+        )),
+    ]
+    v = {(r["shape"], r["constraint"], r["focus"])
+         for r in validate(g, shapes).collect()}
+    assert ("P", "label.minCount1", "p/min") in v
+    assert ("P", "sameAs.minCount1", "p/min") in v
+    assert ("P", "label.maxCount1", "p/max") in v
+    assert ("P", "sameAs.startsWith", "p/max") in v
+    assert ("P", "label.languageIn", "p/lang") in v
+    assert any(s == "I" and "pattern" in c and f == "i/bad" for s, c, f in v)
+    assert not any(f == "p/ok" for _, _, f in v)
+
+
+def test_engine_has_value_and_class_and_inverse(spark):
+    g = _triples(spark, [
+        ("n/a", RDF_TYPE, "c/X", True, None, None),
+        ("n/a", "p/has", "v/typed", True, None, None),
+        ("v/typed", RDF_TYPE, "c/Y", True, None, None),
+        ("n/b", RDF_TYPE, "c/X", True, None, None),
+        ("n/b", "p/has", "v/untyped", True, None, None),
+        # inverse: n/a is pointed to, n/b is not
+        ("z/src", "p/points", "n/a", True, None, None),
+    ])
+    shapes = [Shape("X", "class", "c/X", (
+        Prop("p/has", cls_any=("c/Y",)),
+        Prop("p/has", has_value="v/typed"),
+        Prop("p/points", inverse=True, min_count=1),
+    ))]
+    v = {(r["constraint"], r["focus"]) for r in validate(g, shapes).collect()}
+    assert ("has.class", "n/b") in v
+    assert ("has.hasValue", "n/b") in v
+    assert ("^points.minCount1", "n/b") in v
+    assert not any(f == "n/a" for _, f in v)
+
+
+@pytest.fixture(scope="module")
+def world_dims(spark):
+    world = make_world()
+    return world, world_to_spark(spark, world)
+
+
+def _violations(df, shapes):
+    rows = validate_summary(df, shapes).collect()
+    return {(r["shape"], r["constraint"]): r["n_violations"] for r in rows}
+
+
+def test_authors_stage_conforms(spark, world_dims):
+    from wikidata_to_cidoc_crm_spark.plans.authors import authors_stage
+
+    world, dims = world_dims
+    qids = spark.createDataFrame([(p["qid"],) for p in world.persons], "qid string")
+    out = authors_stage(spark, qids, dims["wd_statements"], dims["wd_labels"])
+    assert _violations(out, AUTHOR_SHAPES) == {}
+
+
+def test_works_stage_conforms(spark, world_dims):
+    from wikidata_to_cidoc_crm_spark.plans.works import works_stage
+
+    world, dims = world_dims
+    qids = spark.createDataFrame([(w["qid"],) for w in world.works], "qid string")
+    out = works_stage(spark, qids, dims["wd_statements"], dims["wd_labels"])
+    assert _violations(out, WORK_SHAPES) == {}
+
+
+def test_relations_stage_conforms(spark, world_dims):
+    from wikidata_to_cidoc_crm_spark.plans.relations import relations_stage
+
+    world, dims = world_dims
+    qids = spark.createDataFrame([(w["qid"],) for w in world.works], "qid string")
+    out = relations_stage(
+        spark, qids, dims["wd_statements"], dims["wd_labels"],
+        dims["wd_subclass_closure"], dims["wd_property_closure"])
+    assert _violations(out, RELATIONS_SHAPES) == {}

@@ -29,11 +29,18 @@ literal_triple = st.tuples(
     iri, pred, text,
     st.sampled_from([None, "en", "de"]),
     st.sampled_from([None, "http://www.w3.org/2001/XMLSchema#date"]),
-).map(lambda t: (t[0], t[1], t[2], t[3], None if t[3] else t[4]))
+).map(lambda t: (t[0], t[1], t[2], t[3], None if t[3] else t[4], False))
 
-iri_triple = st.tuples(iri, pred, iri).map(lambda t: (*t, None, None))
+# plain literals whose value *looks like* an IRI must survive the roundtrip
+# as literals (the obj_is_iri flag, not a string-prefix heuristic, decides)
+url_literal_triple = st.tuples(iri, pred, iri).map(
+    lambda t: (*t, None, None, False))
 
-triples = st.sets(st.one_of(literal_triple, iri_triple), min_size=1, max_size=25)
+iri_triple = st.tuples(iri, pred, iri).map(lambda t: (*t, None, None, True))
+
+triples = st.sets(
+    st.one_of(literal_triple, iri_triple, url_literal_triple),
+    min_size=1, max_size=25)
 
 
 @settings(max_examples=50, deadline=None)

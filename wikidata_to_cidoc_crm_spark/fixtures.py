@@ -270,6 +270,10 @@ def make_world(
         if i % 5 == 0:
             w.external_ids.append(
                 (qid, "dbpedia", f"https://dbpedia.org/resource/Work_{qid}"))
+        if i % 10 == 1:
+            # CURIE form — exercises the S7/P10 dbpedia expansion post-pass
+            w.external_ids.append(
+                (qid, "dbpedia", f"dbpedia:resource/Work_{qid}"))
         # relations edges: share features to create pair-joins (relations.py:393)
         feat = w.features[i % n_features]
         pid = {"plot": "P921", "topic": "P921", "motif": "P6962",
@@ -483,10 +487,12 @@ def interleaved_corpus(
         all_spans.groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list("span")).alias("spans_raw"),
-            F.collect_list(
+            # array_sort → deterministic truth order regardless of
+            # partitioning (collect_list order is partition-dependent)
+            F.array_sort(F.collect_list(
                 F.when(F.col("truth_qid").isNotNull(),
                        F.struct("truth_offset", "truth_qid"))
-            ).alias("truth"),
+            )).alias("truth"),
         )
         # order spans by their offset (struct-default array_sort would sort
         # by kind first); offsets stay sparse — the invariant requires

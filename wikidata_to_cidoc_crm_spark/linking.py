@@ -17,6 +17,7 @@ downstream joins — handled there (broadcast dims / salted pair joins).
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,16 +27,36 @@ MENTION_SCHEMA = (
     "doc_id string, span_offset int, surface string, qid string, score double"
 )
 
-# per-worker compiled-pattern cache (keyed by broadcast id)
+# per-worker compiled-pattern cache, keyed by a driver-issued monotonically
+# increasing token (NOT id(bc): CPython reuses addresses after GC, which
+# could serve a stale matcher for the wrong dictionary). Capped to the most
+# recent entry so long-lived workers never grow unboundedly.
 _PATTERN_CACHE: dict[int, object] = {}
+_DICT_TOKENS = itertools.count()
+
+# hard cap on the driver-collected dictionary: the broadcast pattern is only
+# valid for dimension-sized data. ~10M surfaces ≈ a few GB broadcast — past
+# that the linking design must switch to a co-partitioned token join.
+MAX_SURFACES = 10_000_000
 
 
-def build_surface_table(entities: DataFrame) -> list[tuple[str, str, float]]:
+def build_surface_table(entities: DataFrame,
+                        max_surfaces: int = MAX_SURFACES) -> list[tuple[str, str, float]]:
     """Collect the dimension-sized dictionary: (surface, qid, score).
 
     Exact labels score 1.0, aliases 0.7, german labels 0.9. Ambiguous
     surfaces resolve to the lexicographically smallest QID (deterministic).
+    Raises if the dimension exceeds ``max_surfaces`` — an explicit guard so
+    an unexpectedly fact-sized "dimension" fails loudly instead of OOMing
+    the driver.
     """
+    n = entities.count()
+    if n > max_surfaces:
+        raise ValueError(
+            f"entity dimension has {n} rows > max_surfaces={max_surfaces}; "
+            "the broadcast-dictionary linking path requires a dimension-"
+            "sized table — use a token-join based matcher for fact-sized "
+            "dictionaries")
     rows = entities.select("qid", "label_en", "label_de", "aliases").collect()
     table: dict[str, tuple[str, float]] = {}
 
@@ -67,11 +88,12 @@ def detect_mentions(
     """
     surfaces = build_surface_table(entities)
     bc = spark.sparkContext.broadcast(surfaces)
+    dict_token = next(_DICT_TOKENS)
 
     def match_batches(batches):
         import pandas as pd
 
-        key = id(bc)
+        key = dict_token
         cached = _PATTERN_CACHE.get(key)
         if cached is None:
             # token-hash matcher: index surfaces by first token; at each text
@@ -90,6 +112,7 @@ def detect_mentions(
             for lst in by_first.values():
                 lst.sort(key=len, reverse=True)
             cached = (by_first, table)
+            _PATTERN_CACHE.clear()  # cap: keep only the latest dictionary
             _PATTERN_CACHE[key] = cached
         by_first, table = cached
         tok_rx = re.compile(r"\W+")

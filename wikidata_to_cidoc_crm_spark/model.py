@@ -65,7 +65,11 @@ TRIPLE_SCHEMA = T.StructType(
     ]
 )
 
-TRIPLE_KEY = ["subj", "pred", "obj", "lang", "dtype"]
+# Full RDF-term identity: an IRI and a plain literal with the same lexical
+# form are *different* terms, so obj_is_iri is part of the dedup key. (It
+# also makes dropDuplicates deterministic across partitionings — no
+# arbitrary winner between an IRI-flagged and literal-flagged duplicate.)
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_is_iri", "lang", "dtype"]
 
 
 def ecrm(term: str) -> str:
@@ -168,8 +172,10 @@ def dedupe_triples(df: DataFrame) -> DataFrame:
 
 
 def triples_to_python_set(df: DataFrame) -> set[tuple]:
-    """Test-scale helper: collect to a comparable set of 5-tuples."""
+    """Test-scale helper: collect to a comparable set of 6-tuples
+    ``(subj, pred, obj, lang, dtype, obj_is_iri)`` — the IRI/literal flag is
+    part of term identity, so golden comparisons catch IRI-vs-literal drift."""
     return {
-        (r["subj"], r["pred"], r["obj"], r["lang"], r["dtype"])
-        for r in df.select(*TRIPLE_KEY).collect()
+        (r["subj"], r["pred"], r["obj"], r["lang"], r["dtype"], bool(r["obj_is_iri"]))
+        for r in df.select("subj", "pred", "obj", "lang", "dtype", "obj_is_iri").collect()
     }

@@ -5,9 +5,13 @@ DataFrames (no GraphFrames dependency): each node converges to the minimum
 node id reachable from it. Used by the canonicalization stage to merge
 duplicate-entity candidate pairs (MinHash-LSH output) into clusters.
 
-Scale notes: each iteration is one shuffle on the node id; iteration count
-is O(log(diameter)) thanks to min-propagation through both edge directions.
-``localCheckpoint`` truncates lineage so plans do not grow across rounds.
+Scale notes: each iteration is one-hop min propagation followed by a
+pointer-doubling label compression (label := label-of-label), so the
+propagation horizon doubles per round and convergence is O(log diameter)
+rounds — 30 iterations cover diameters up to 2^30. ``localCheckpoint``
+truncates lineage so plans do not grow across rounds. Exiting via
+``max_iterations`` without reaching the fixpoint raises (silently
+non-converged labels would corrupt canonicalization downstream).
 """
 
 from __future__ import annotations
@@ -26,6 +30,9 @@ def connected_components(
 
     Node ids are compared as-is (strings compare lexicographically —
     fine for canonicalization where any stable representative works).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` (with pointer doubling that needs diameter > 2^30).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -39,6 +46,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iterations):
         # propagate: node's comp = min(own comp, neighbors' comps)
         nbr = (
@@ -52,6 +60,17 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
             )
+        )
+        # pointer doubling: comp := comp-of-comp, so the label horizon
+        # doubles each round (O(log diameter) instead of O(diameter))
+        parent = new_labels.select(
+            F.col("node").alias("_p"), F.col("comp").alias("_pcomp"))
+        new_labels = (
+            new_labels.join(parent, new_labels["comp"] == parent["_p"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("_pcomp", "comp")).alias("comp"),
+            )
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -62,5 +81,10 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — labels would be inconsistent; raise max_iterations")
     return labels.select("node", F.col("comp").alias("component"))

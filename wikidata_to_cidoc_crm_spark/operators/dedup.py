@@ -14,7 +14,7 @@ joins only candidate pairs, never the full cross product.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,24 +62,59 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """(a, b, jaccard) pairs with token-set Jaccard ≥ threshold.
+    """(a, b, jaccard) pairs with token-set Jaccard ≥ threshold — EXACT.
 
-    Inverted-index join: pairs sharing ≥1 token, common-count / union-size.
-    The token join key is skew-prone (stopwords) — at scale drop the top-k
-    document-frequency tokens first (standard trick); here AQE skew-join
-    covers the synthetic distribution.
+    Prefix-filtered inverted-index join (AllPairs/ppjoin-style): tokens are
+    globally ordered by ascending document frequency; each doc indexes only
+    its first ``|d| - ceil(t*|d|) + 1`` tokens in that order (its *prefix*).
+    Standard prefix-filter lemma: any pair with Jaccard ≥ t must share at
+    least one prefix token, so the prefix self-join yields a candidate
+    superset and the exact-Jaccard verification over full token sets makes
+    the result identical to the naive all-token join.
+
+    Scale: the quadratic blow-up of the naive join comes from hub tokens
+    (stopwords joining ~all docs × ~all docs). Stopwords have the highest
+    DF → they sort last → they are (almost) never in a prefix, so the join
+    key distribution is flattened by construction, not by AQE luck. A
+    length-ratio filter (|b| ≥ t·|a|) prunes candidates further.
     """
-    toks = token_sets(docs, id_col, text_col).cache()
+    toks = token_sets(docs, id_col, text_col).localCheckpoint(eager=True)
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    a = toks.select(F.col("id").alias("a"), "token")
-    b = toks.select(F.col("id").alias("b"), "token")
+    df_tok = toks.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = (
+        toks.join(df_tok, "token")
+        .join(sizes, "id")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("df").asc(),
+                                                 F.col("token").asc())),
+        )
+    )
+    # prefix length = |d| - ceil(t*|d|) + 1
+    prefix = ranked.filter(
+        F.col("r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "token", "sz")
+    pa = prefix.select(F.col("id").alias("a"), "token", F.col("sz").alias("sza"))
+    pb = prefix.select(F.col("id").alias("b"), "token", F.col("sz").alias("szb"))
+    cands = (
+        pa.join(pb, "token")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.least("sza", "szb") >= F.lit(threshold) * F.greatest("sza", "szb"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("a"), "token")
+    tb = toks.select(F.col("id").alias("b"), "token")
     common = (
-        a.join(b, "token")
-        .filter(F.col("a") < F.col("b"))
+        cands.join(ta, "a")
+        .join(tb, ["b", "token"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )
-    out = (
+    return (
         common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
         .withColumn(
@@ -89,7 +124,6 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -233,14 +267,31 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
-    (a pair within hamming ≤ 3·chunks must agree on ≥1 chunk — pigeonhole)."""
-    sh = simhash(docs, id_col, text_col).cache()
+                       text_col: str = "text", max_hamming: int = 8,
+                       bits: int = 64) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — EXACT recall.
+
+    Blocking: the fingerprint is split into ``max_hamming + 1`` chunks; by
+    pigeonhole, any pair with hamming ≤ max_hamming has at least one chunk
+    with zero differing bits, so the chunk-equality bucket join generates a
+    candidate superset and the hamming post-filter makes the result exact.
+    (Fewer chunks than max_hamming+1 would silently drop pairs whose
+    differing bits spread across every chunk.)
+
+    Chunk width is ``bits // n_chunks`` — trailing bits beyond
+    ``width * n_chunks`` belong to no chunk, which only *adds* candidates
+    (diffs there can't break chunk equality), never drops true pairs.
+    """
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(f"max_hamming+1={n_chunks} chunks exceed {bits} bits")
+    width = bits // n_chunks
+    sh = simhash(docs, id_col, text_col, bits).cache()
     chunks = sh.select(
         "id", "bits",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
-    ).withColumn("chunk", F.concat_ws("", F.slice("bits", F.col("c") * 16 + 1, 16)))
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+    ).withColumn(
+        "chunk", F.concat_ws("", F.slice("bits", F.col("c") * width + 1, width)))
     a = chunks.select(F.col("id").alias("a"), F.col("bits").alias("ba"), "c", "chunk")
     b = chunks.select(F.col("id").alias("b"), F.col("bits").alias("bb"), "c", "chunk")
     cand = (

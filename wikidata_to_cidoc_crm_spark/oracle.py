@@ -6,8 +6,8 @@ Tests compare its triple set against the Spark stages' output — this is the
 P/R ≥ 0.95 gate from BASELINE.json, evaluated at fixture scale.
 
 Independent implementation detail: this module walks plain dicts and emits
-5-tuples ``(subj, pred, obj, lang, dtype)``; it shares URI/namespace
-constants with the Spark side (model.py) but no plan code.
+6-tuples ``(subj, pred, obj, lang, dtype, obj_is_iri)``; it shares
+URI/namespace constants with the Spark side (model.py) but no plan code.
 """
 
 from __future__ import annotations
@@ -29,16 +29,16 @@ from .plans.constants import AUTHOR_CLASSES, AUTHOR_PROPS, _equivalence_block
 
 XSD_DATE = XSD + "date"
 
-Triple = tuple[str, str, str, str | None, str | None]
+Triple = tuple[str, str, str, str | None, str | None, bool]
 
 
 def _iri(s: str, p: str, o: str) -> Triple:
-    return (s, p, o, None, None)
+    return (s, p, o, None, None, True)
 
 
 def _lit(s: str, p: str, o: str, lang: str | None = None,
          dtype: str | None = None) -> Triple:
-    return (s, p, o, lang, dtype)
+    return (s, p, o, lang, dtype, False)
 
 
 def authors_header_triples() -> set[Triple]:

@@ -32,8 +32,10 @@ _WD_RE = re.compile(r"^http://www\.wikidata\.org/entity/(Q\d+)$")
 
 
 def _to5(t6: tuple) -> Triple:
-    s, p, o, _is_iri, lang, dtype = t6
-    return (s, p, o, lang, dtype)
+    # align_spec constant blocks are (s, p, o, is_iri, lang, dtype);
+    # reorder into the canonical (s, p, o, lang, dtype, is_iri) 6-tuple.
+    s, p, o, is_iri, lang, dtype = t6
+    return (s, p, o, lang, dtype, bool(is_iri))
 
 
 class _Idx:
@@ -42,7 +44,7 @@ class _Idx:
         self.by_pred: dict[str, list[tuple[str, str]]] = {}
         self.types: dict[str, set[str]] = {}
         self.labels: dict[str, str] = {}
-        for s, p, o, lang, dtype in g:
+        for s, p, o, lang, dtype, _is_iri in g:
             self.by_pred.setdefault(p, []).append((s, o))
             if p == RDF_TYPE:
                 self.types.setdefault(s, set()).add(o)
@@ -83,6 +85,10 @@ def align_triples(
             if not tmpl:
                 continue
             uri = tmpl.replace("{v}", value)
+            if uri.startswith("dbpedia:"):
+                # reference post-pass: dbpedia:X → https://dbpedia.org/X
+                # (map_and_align.py:1002)
+                uri = "https://dbpedia.org/" + uri[len("dbpedia:"):]
             if not uri.startswith(("http://", "https://")):
                 continue
             for s in by_qid.get(qid, []):

@@ -126,9 +126,11 @@ def align_stage(
             x for k, v in EXTERNAL_ID_TEMPLATES.items()
             for x in (F.lit(k), F.lit(v))
         ])
+        # dbpedia CURIEs are admitted here and expanded by the S7/P10
+        # normalize_dbpedia post-pass below (map_and_align.py:996-1004)
         enr = same.join(external_ids, "qid").withColumn(
             "uri", F.replace(tmpl[F.col("id_type")], F.lit("{v}"), F.col("value"))
-        ).filter(F.col("uri").rlike("^https?://"))
+        ).filter(F.col("uri").rlike("^(https?://|dbpedia:)"))
         parts.append(_mk(enr, "s", OWL_SAMEAS, "uri"))
 
     r3 = po(L + "R3_is_realised_in")
@@ -315,4 +317,9 @@ def align_stage(
         out = out.unionByName(const_triples(spark, const))
     for p in parts:
         out = out.unionByName(p)
-    return dedupe_triples(out)
+    # S7/P10: expand dbpedia CURIEs before the sink (the reference rewrites
+    # the serialized file, map_and_align.py:996-1004; the engine normalizes
+    # the column instead)
+    from ..sources.readers import normalize_dbpedia
+
+    return dedupe_triples(normalize_dbpedia(out))

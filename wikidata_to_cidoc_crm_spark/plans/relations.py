@@ -89,10 +89,18 @@ def _label_lookup(labels: DataFrame) -> DataFrame:
     )
 
 
-def _attach_label(df: DataFrame, lab: DataFrame, key: str, out: str) -> DataFrame:
+# above this many label rows the dimension no longer broadcasts safely
+# (~90M Wikidata labels ≈ several GB) — fall back to a shuffle join
+LABEL_BROADCAST_MAX = 20_000_000
+
+
+def _attach_label(df: DataFrame, lab: DataFrame, key: str, out: str,
+                  broadcast_hint: bool = True) -> DataFrame:
     l = lab.select(F.col("qid").alias(key + "__k"), F.col("_lbl").alias(out + "__l"))
+    if broadcast_hint:
+        l = F.broadcast(l)
     return (
-        df.join(F.broadcast(l), F.col(key) == F.col(key + "__k"), "left")
+        df.join(l, F.col(key) == F.col(key + "__k"), "left")
         .withColumn(out, F.coalesce(out + "__l", key))
         .drop(key + "__k", out + "__l")
     )
@@ -124,6 +132,13 @@ def relations_stage(
     dedupe: bool = True,
 ) -> DataFrame:
     lab = _label_lookup(labels)
+    # gate the forced label broadcast on dimension size (shuffle-join
+    # fallback for fact-sized label tables)
+    lab_bcast = labels.count() <= LABEL_BROADCAST_MAX
+
+    def _attach(df, l, k, o):
+        return _attach_label(df, l, k, o, broadcast_hint=lab_bcast)
+
     W = work_qids.select("qid").distinct()
 
     def pids_of(bases: list[str]) -> DataFrame:
@@ -236,7 +251,10 @@ def relations_stage(
     )
 
     # --- pairs for all families at once (J8) + first-pair-wins partner ---
-    all_pairs = pair_join(qfw_all, key=["family", "tgt"], work="work") \
+    # hub features (> heavy_threshold works) go through the salted join so
+    # one popular topic cannot pin the whole stage on a single reducer
+    all_pairs = pair_join(qfw_all, key=["family", "tgt"], work="work",
+                          salt_partitions=32, heavy_threshold=1000) \
         .localCheckpoint(eager=False)
     fam_acts = first_partner(qfw_all, key=["family", "tgt"], work="work")
 
@@ -256,8 +274,8 @@ def relations_stage(
             F.least("w1", "w2").alias("w1"), F.greatest("w1", "w2").alias("w2"))
         .distinct()
     )
-    rels = _attach_label(rels, lab, "w1", "l1")
-    rels = _attach_label(rels, lab, "w2", "l2")
+    rels = _attach(rels, lab, "w1", "l1")
+    rels = _attach(rels, lab, "w2", "l2")
     # casefold-sorted label pair (relations.py:284)
     rels = rels.withColumn(
         "la", F.when(F.lower("l1") <= F.lower("l2"), F.col("l1")).otherwise(F.col("l2"))
@@ -290,8 +308,8 @@ def relations_stage(
     )
 
     # --- acts (family + workref); per-family label/priority as expressions ---
-    fam_acts = _attach_label(fam_acts, lab, "tgt", "tlbl")
-    fam_acts = _attach_label(fam_acts, lab, "work", "wlbl")
+    fam_acts = _attach(fam_acts, lab, "tgt", "tlbl")
+    fam_acts = _attach(fam_acts, lab, "work", "wlbl")
     fam_meta = {f[0]: (f[3], f[4], f[5], f[6], f[7], f[8]) for f in FAMILIES}
     prio_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[8]))])
     is_ref_fam = F.col("family").isin(["person_ref", "place_ref"])
@@ -303,8 +321,8 @@ def relations_stage(
         prio_map[F.col("family")].alias("prio"),
     )
 
-    workref_acts = _attach_label(workref_pairs, lab, "tgt", "tlbl")
-    workref_acts = _attach_label(workref_acts, lab, "src", "wlbl")
+    workref_acts = _attach(workref_pairs, lab, "tgt", "tlbl")
+    workref_acts = _attach(workref_acts, lab, "src", "wlbl")
     workref_acts = workref_acts.select(
         "tgt", F.col("src").alias("work"),
         F.least("src", "tgt").alias("rel_w1"), F.greatest("src", "tgt").alias("rel_w2"),
@@ -438,7 +456,7 @@ def relations_stage(
     # --- feature nodes: one emission over the tagged (family, tgt) set ---
     feat_triple_parts = []
     ftgts = qfw_all.select("family", "tgt").distinct()
-    ftgts = _attach_label(ftgts, lab, "tgt", "tlbl").withColumn(
+    ftgts = _attach(ftgts, lab, "tgt", "tlbl").withColumn(
         "feat_uri", F.concat(F.lit(SAPPHO + "feature/"), "family", F.lit("/"), "tgt"))
     cls_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[4]))])
     flabel_col = (
@@ -473,7 +491,7 @@ def relations_stage(
         .select("tgt").distinct().join(
         char_persons, F.col("tgt") == F.col("cq"), "left_semi")
     person_nodes = person_tgts.unionByName(char_person_tgts).distinct()
-    person_nodes = _attach_label(person_nodes, lab, "tgt", "tlbl")
+    person_nodes = _attach(person_nodes, lab, "tgt", "tlbl")
     feat_triple_parts.append(emit_triples(person_nodes, [
         Rule(mint("person", "tgt"), RDF_TYPE, ECRM + "E21_Person",
              ref="relations.py:530-537"),
@@ -483,7 +501,7 @@ def relations_stage(
              ref="relations.py:532"),
     ] + _identifier_rules(mint("person", "tgt"), "tgt")))
     # person_ref feature node also exists for person-characters
-    charp_feats = _attach_label(char_person_tgts, lab, "tgt", "tlbl")
+    charp_feats = _attach(char_person_tgts, lab, "tgt", "tlbl")
     feat_triple_parts.append(emit_triples(charp_feats, [
         Rule(F.concat(F.lit(SAPPHO + "feature/person_ref/"), "tgt"), RDF_TYPE,
              INTRO + "INT18_Reference", ref="relations.py:681-683"),
@@ -492,7 +510,7 @@ def relations_stage(
              obj_is_iri=False, lang="en", ref="relations.py:683"),
     ]))
 
-    place_tgts = _attach_label(
+    place_tgts = _attach(
         qfw_all.filter(F.col("family") == "place_ref").select("tgt").distinct(),
         lab, "tgt", "tlbl")
     feat_triple_parts.append(emit_triples(place_tgts, [
@@ -505,7 +523,7 @@ def relations_stage(
     ] + _identifier_rules(mint("place", "tgt"), "tgt")))
 
     # work_ref feature nodes — every target, no ≥2 gate (relations.py:641-647)
-    workref_tgts = _attach_label(workref.select("tgt").distinct(), lab, "tgt", "tlbl")
+    workref_tgts = _attach(workref.select("tgt").distinct(), lab, "tgt", "tlbl")
     feat_triple_parts.append(emit_triples(workref_tgts, [
         Rule(F.concat(F.lit(SAPPHO + "feature/work_ref/"), "tgt"), RDF_TYPE,
              INTRO + "INT18_Reference", ref="relations.py:641-644"),
@@ -526,7 +544,7 @@ def relations_stage(
         .unionByName(workref_pairs.select(F.col("src").alias("q")))
         .distinct()
     )
-    expr_works = _attach_label(expr_works, lab, "q", "qlbl")
+    expr_works = _attach(expr_works, lab, "q", "qlbl")
     expr_triples = emit_triples(expr_works, [
         Rule(mint("expression", "q"), RDF_TYPE, LRMOO + "F2_Expression",
              ref="relations.py:184"),
@@ -538,8 +556,8 @@ def relations_stage(
     ])
 
     # --- citation text passages (relations.py:795-816) ---
-    tps = _attach_label(cite_kept, lab, "src", "slbl")
-    tps = _attach_label(tps, lab, "tgt", "tlbl")
+    tps = _attach(cite_kept, lab, "src", "slbl")
+    tps = _attach(tps, lab, "tgt", "tlbl")
     tps = tps.withColumn(
         "rel",
         F.concat(F.lit(SAPPHO + "relation/"), F.least("src", "tgt"),
@@ -566,8 +584,10 @@ def relations_stage(
 
     align = const_triples(
         spark,
-        [(s, p, o, True, lang, dtype)
-         for (s, p, o, lang, dtype) in sorted(relations_alignment_triples())],
+        [(s, p, o, is_iri, lang, dtype)
+         for (s, p, o, lang, dtype, is_iri) in sorted(
+             relations_alignment_triples(),
+             key=lambda t: tuple("" if v is None else str(v) for v in t))],
     )
 
     out = rel_triples

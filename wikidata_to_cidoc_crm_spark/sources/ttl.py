@@ -4,8 +4,10 @@ Supports the subset the reference's serializer emits (S5/S6 in SURVEY.md):
 @prefix, IRIs, prefixed names, ``a``, ``;``/``,`` continuations, literals
 with @lang / ^^datatype, and ``%`` escapes left verbatim. NOT a general
 Turtle parser — no blank nodes/collections/multiline strings (the golden
-files contain none). Triples come back as the canonical 5-tuple
-``(subj, pred, obj, lang, dtype)``.
+files contain none). Triples come back as the canonical 6-tuple
+``(subj, pred, obj, lang, dtype, obj_is_iri)`` — the IRI/literal flag is
+carried so golden comparisons detect IRI-vs-literal drift (a seeAlso URL
+emitted as a plain literal must NOT compare equal to the IRI form).
 """
 
 from __future__ import annotations
@@ -101,14 +103,14 @@ def parse_ttl(text: str) -> set[tuple]:
             pred = expand(tok)
             state = "obj"
         elif state == "obj":
-            val, lang, dtype, _is_iri = parse_object(tok)
-            triples.add((subj, pred, val, lang, dtype))
+            val, lang, dtype, is_iri = parse_object(tok)
+            triples.add((subj, pred, val, lang, dtype, is_iri))
             state = "after_obj"
         elif state == "after_obj":
             # an object token directly after another (shouldn't happen in
             # well-formed turtle without , ; .) — treat as new object
-            val, lang, dtype, _is_iri = parse_object(tok)
-            triples.add((subj, pred, val, lang, dtype))
+            val, lang, dtype, is_iri = parse_object(tok)
+            triples.add((subj, pred, val, lang, dtype, is_iri))
     return triples
 
 
@@ -134,6 +136,10 @@ def write_ttl(triples, path: str) -> None:
             s, p, o = t[0], t[1], t[2]
             lang = t[3] if len(t) > 3 else None
             dtype = t[4] if len(t) > 4 else None
-            is_iri = lang is None and dtype is None and (
-                o.startswith("http://") or o.startswith("https://"))
+            if len(t) > 5:
+                is_iri = bool(t[5])
+            else:
+                # legacy 3/5-tuple input: fall back to the prefix heuristic
+                is_iri = lang is None and dtype is None and (
+                    o.startswith("http://") or o.startswith("https://"))
             f.write(f"<{s}> <{p}> {fmt_obj(o, lang, dtype, is_iri)} .\n")
