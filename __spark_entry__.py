@@ -315,9 +315,13 @@ def _dedup_minhash_lsh(spark, sf):
 
 
 def _dedup_simhash(spark, sf):
+    """md5-mode SimHash (48-bit) so the DuckDB oracle recomputes the exact
+    fingerprints; pigeonhole blocking (max_hamming+1 chunks) makes the
+    blocked result identical to the oracle's exhaustive hamming join."""
     from wikidata_to_cidoc_crm_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
+    return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8,
+                              bits=48, hash_mode="md5")
 
 
 def _cc_components(spark, sf):
@@ -347,11 +351,14 @@ def _ann_topk_cosine(spark, sf):
 
 
 def _ann_lsh_topk(spark, sf):
+    """Multi-probe LSH top-k with md5-derived hyperplanes so the DuckDB
+    oracle replicates the *approximate* operator itself bit-for-bit
+    (bucketing + probing + bucket-restricted exact rerank)."""
     from wikidata_to_cidoc_crm_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, dim=64, k=3)
+    return lsh_topk(emb, queries, dim=64, k=3, hash_mode="md5")
 
 
 def _text_token_count(spark, sf):
@@ -379,6 +386,91 @@ def _text_quality(spark, sf):
         .groupBy("qbucket")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def _shacl_violations(spark, sf):
+    """SHACL-core validation engine over a synthetic triple table derived
+    from ``documents`` with deterministically planted violations — the
+    DuckDB twin recomputes the per-constraint counts independently, so the
+    whole validator (focus sets, cardinality, languageIn, pattern,
+    prefix checks) is oracle-gated."""
+    from wikidata_to_cidoc_crm_spark.shacl import Prop, Shape, validate_summary
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("int").alias("n"))
+    subj = F.concat(F.lit("doc/"), F.col("n").cast("string"))
+
+    def part(cond, pred, obj, is_iri, lang):
+        src = d.filter(cond) if cond is not None else d
+        return src.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            F.lit(is_iri).alias("obj_is_iri"),
+            F.lit(lang).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype"))
+
+    g = part(None, "urn:type", F.lit("c/Doc"), True, None) \
+        .unionByName(part(F.col("n") % 7 != 0, "urn:label",
+                          F.concat(F.lit("Doc "), F.col("n").cast("string")),
+                          False, "en")) \
+        .unionByName(part(F.col("n") % 11 == 0, "urn:label",
+                          F.concat(F.lit("Dok "), F.col("n").cast("string")),
+                          False, "de")) \
+        .unionByName(part(None, "urn:ident",
+                          F.when(F.col("n") % 13 == 0,
+                                 F.concat(F.lit("X"), F.col("n").cast("string")))
+                          .otherwise(F.concat(F.lit("Q"), F.col("n").cast("string"))),
+                          False, None)) \
+        .unionByName(part(None, "urn:sameAs",
+                          F.when(F.col("n") % 17 == 0,
+                                 F.concat(F.lit("https://example.org/"),
+                                          F.col("n").cast("string")))
+                          .otherwise(F.concat(
+                              F.lit("http://www.wikidata.org/entity/Q"),
+                              F.col("n").cast("string"))),
+                          True, None))
+    # replace urn:type with the rdf:type IRI the engine targets on
+    from wikidata_to_cidoc_crm_spark.model import RDF_TYPE
+    g = g.withColumn("pred", F.when(F.col("pred") == "urn:type",
+                                    F.lit(RDF_TYPE)).otherwise(F.col("pred")))
+    shapes = [Shape("DocShape", "class", "c/Doc", (
+        Prop("urn:label", min_count=1, max_count=1, language_in=("en",)),
+        Prop("urn:ident", pattern="^Q[0-9]+$"),
+        Prop("urn:sameAs", starts_with="http://www.wikidata.org/entity/Q"),
+    ))]
+    return validate_summary(g, shapes)
+
+
+def _kg_validate(spark, sf):
+    """SHACL-derived validation of the three mapping-stage outputs against
+    the transcribed reference shapes (rows-only: per-module violation
+    counts; the two nonzero rows are reference-inherent, see
+    tests/test_shacl.py docstrings)."""
+    from wikidata_to_cidoc_crm_spark.fixtures import make_world, world_to_spark
+    from wikidata_to_cidoc_crm_spark.plans.authors import authors_stage
+    from wikidata_to_cidoc_crm_spark.plans.relations import relations_stage
+    from wikidata_to_cidoc_crm_spark.plans.works import works_stage
+    from wikidata_to_cidoc_crm_spark.shacl import validate_summary
+    from wikidata_to_cidoc_crm_spark.shapes_spec import (
+        AUTHOR_SHAPES, RELATIONS_SHAPES, WORK_SHAPES)
+
+    world = make_world()
+    dims = world_to_spark(spark, world)
+    pq = spark.createDataFrame([(p["qid"],) for p in world.persons], "qid string")
+    wq = spark.createDataFrame([(w["qid"],) for w in world.works], "qid string")
+    outs = [
+        ("authors", authors_stage(spark, pq, dims["wd_statements"],
+                                  dims["wd_labels"]), AUTHOR_SHAPES),
+        ("works", works_stage(spark, wq, dims["wd_statements"],
+                              dims["wd_labels"]), WORK_SHAPES),
+        ("relations", relations_stage(
+            spark, wq, dims["wd_statements"], dims["wd_labels"],
+            dims["wd_subclass_closure"], dims["wd_property_closure"]),
+         RELATIONS_SHAPES),
+    ]
+    res = None
+    for module, df, shapes in outs:
+        s = validate_summary(df, shapes).withColumn("module", F.lit(module))
+        res = s if res is None else res.unionByName(s)
+    return res.select("module", "shape", "constraint", "n_violations")
 
 
 def _stream_window_counts(spark, sf):
@@ -516,6 +608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         # streaming semantics (batch-equivalent plan)
         "stream_window_counts": _stream_window_counts,
+        # SHACL-derived validation (reference's correctness mechanism)
+        "shacl_violations": _shacl_violations,
+        "kg_validate": _kg_validate,
         # KG stages (rows-only; golden-parity gated in pytest)
         "kg_authors": _kg_authors,
         "kg_works": _kg_works,
@@ -533,6 +628,15 @@ _TOKS = f"list_filter(string_split_regex(lower(text), '{_TOK}'), x -> x != '')"
 
 
 def oracle_sql() -> dict[str, str]:
+    # multi-probe masks for ann_lsh_topk (planes=6, probe_hamming=2):
+    # identical enumeration to operators/similarity.lsh_topk
+    _PLANES = 6
+    _masks = [0] + [1 << i for i in range(_PLANES)] + [
+        (1 << i) | (1 << j) for i in range(_PLANES) for j in range(i + 1, _PLANES)]
+    _mask_values = ", ".join(f"({m})" for m in _masks)
+    # word tokens exactly as operators/dedup.normalize_text + split(" ")
+    _WTOKS = ("list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+              ", x -> x != '')")
     return {
         "p1_filter_project": """
             SELECT l_orderkey, l_partkey, l_quantity
@@ -685,6 +789,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst FROM r
         """,
+        "cc_components": """
+            WITH RECURSIVE edges AS (
+              SELECT DISTINCT 'o' || CAST(l_orderkey % 500 AS VARCHAR) AS src,
+                              'p' || CAST(l_partkey % 500 AS VARCHAR) AS dst
+              FROM lineitem
+            ), sym AS (
+              SELECT src AS a, dst AS b FROM edges
+              UNION
+              SELECT dst AS a, src AS b FROM edges
+            ), reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ), comp AS (
+              SELECT a AS node, least(a, min(b)) AS component
+              FROM reach GROUP BY a
+            )
+            SELECT component, count(*) AS n_nodes FROM comp GROUP BY 1
+        """,
         "dedup_exact_stats": f"""
             SELECT count(*) AS n_docs, count(DISTINCT {_NORM}) AS n_unique
             FROM documents
@@ -725,6 +848,125 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN q
               WHERE e.vec_id != q.query_id)
             SELECT query_id, neighbor_id, score FROM scored WHERE rn <= 3
+        """,
+        # exact shingle-Jaccard twin: the LSH pipeline verifies candidates
+        # with exact Jaccard, and its banding params give full recall on
+        # this corpus (pytest-gated in tests/test_operators.py), so its
+        # output equals the exhaustive shingle-Jaccard join
+        "dedup_minhash_lsh": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, {_WTOKS} AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT id, shingle FROM (
+                SELECT id,
+                       unnest(list_transform(
+                         range(1, greatest(len(t) - 3, 0) + 2),
+                         i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                FROM toks)
+              WHERE shingle != ''
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY 1
+            ), common AS (
+              SELECT x.id AS a, y.id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON common.a = sa.id
+            JOIN sizes sb ON common.b = sb.id
+            WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.5
+        """,
+        # exhaustive-hamming twin of the chunk-blocked SimHash: pigeonhole
+        # (max_hamming+1 chunks) guarantees the blocked join finds every
+        # pair with hamming <= 8, so blocked == exhaustive
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id AS id, unnest({_WTOKS}) AS token
+              FROM documents
+            ), h AS (
+              SELECT id,
+                     CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h
+              FROM toks
+            ), votes AS (
+              SELECT id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN range(0, 48) t(b)
+              GROUP BY id, b
+            ), fp AS (
+              SELECT id,
+                     list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+              FROM votes GROUP BY id
+            ), pairs AS (
+              SELECT x.id AS a, y.id AS b,
+                     list_sum(list_transform(range(1, 49),
+                       i -> CASE WHEN x.bits[i] != y.bits[i] THEN 1 ELSE 0 END)
+                     ) AS hamming
+              FROM fp x JOIN fp y ON x.id < y.id
+            )
+            SELECT a, b, CAST(hamming AS INTEGER) AS hamming
+            FROM pairs WHERE hamming <= 8
+        """,
+        # bit-for-bit twin of the md5-hyperplane multi-probe LSH search
+        "ann_lsh_topk": f"""
+            WITH emb AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), comps AS (
+              SELECT p, list_transform(range(0, 64), i ->
+                (CAST(('0x' || substr(md5('42_' || CAST(p AS VARCHAR) || '_'
+                                      || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT)
+                 % 1000) / 500.0 - 1.0) AS c
+              FROM range(0, {_PLANES}) t(p)
+            ), buckets AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN list_dot_product(e, c) >= 0
+                              THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+              FROM emb CROSS JOIN comps GROUP BY vec_id
+            ), q AS (
+              SELECT b.vec_id AS query_id, e.e AS qv,
+                     xor(b.bucket, m.mask) AS bucket
+              FROM buckets b
+              JOIN emb e ON b.vec_id = e.vec_id
+              CROSS JOIN (VALUES {_mask_values}) m(mask)
+              WHERE b.vec_id < 5
+            ), cand AS (
+              SELECT DISTINCT q.query_id, v.vec_id AS neighbor_id
+              FROM q JOIN buckets v ON q.bucket = v.bucket
+              WHERE v.vec_id != q.query_id
+            ), scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(qe.e, ne.e), 4) AS score
+              FROM cand c
+              JOIN emb qe ON c.query_id = qe.vec_id
+              JOIN emb ne ON c.neighbor_id = ne.vec_id
+            )
+            SELECT query_id, neighbor_id, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rn
+              FROM scored) WHERE rn <= 3
+        """,
+        "shacl_violations": """
+            WITH d AS (SELECT CAST(doc_id AS INTEGER) AS n FROM documents),
+            v AS (
+              SELECT 'DocShape' AS shape, 'label.minCount1' AS "constraint",
+                     count(*) AS n_violations
+              FROM d WHERE n % 7 = 0 AND n % 11 <> 0
+              UNION ALL
+              SELECT 'DocShape', 'label.maxCount1', count(*)
+              FROM d WHERE n % 7 <> 0 AND n % 11 = 0
+              UNION ALL
+              SELECT 'DocShape', 'label.languageIn', count(*)
+              FROM d WHERE n % 11 = 0
+              UNION ALL
+              SELECT 'DocShape', 'ident.pattern', count(*)
+              FROM d WHERE n % 13 = 0
+              UNION ALL
+              SELECT 'DocShape', 'sameAs.startsWith', count(*)
+              FROM d WHERE n % 17 = 0
+            )
+            SELECT shape, "constraint", CAST(n_violations AS BIGINT) AS n_violations
+            FROM v WHERE n_violations > 0 ORDER BY shape, "constraint"
         """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents

@@ -113,15 +113,39 @@ def test_authors_stage_conforms(spark, world_dims):
 
 
 def test_works_stage_conforms(spark, world_dims):
+    """One violation class is EXPECTED: the reference's current code never
+    labels the expression-title node (works.py:395-398 add type/P102/P190
+    but no rdfs:label — only the *manifestation* title gets one at
+    works.py:468), so its own output violates its own TitleShape
+    (work-shapes.ttl:223-228, label minCount 1). The reference's pySHACL
+    step only prints the report (works.py:600-619). The engine replicates
+    the current code, hence exactly that violation — one per expression
+    title — and nothing else."""
     from wikidata_to_cidoc_crm_spark.plans.works import works_stage
 
     world, dims = world_dims
     qids = spark.createDataFrame([(w["qid"],) for w in world.works], "qid string")
     out = works_stage(spark, qids, dims["wd_statements"], dims["wd_labels"])
-    assert _violations(out, WORK_SHAPES) == {}
+    n_expr_titles = out.filter(
+        (F.col("pred") == RDF_TYPE)
+        & F.col("subj").startswith(SAPPHO + "title/expression/")
+    ).select("subj").distinct().count()
+    assert n_expr_titles > 0
+    assert _violations(out, WORK_SHAPES) == {
+        ("TitleShape", "label.minCount1"): n_expr_titles}
 
 
 def test_relations_stage_conforms(spark, world_dims):
+    """One violation class is EXPECTED: ``get_or_create_int31_relation``
+    (reference relations.py:277-296) creates the INT31 node, label and
+    interpretation but NO R24_hasRelatedEntity links, so relations created
+    only by the int31 direct-link processor violate the reference's own
+    IntertextualRelationShape minCount 2 (relations-shapes.ttl:261-265).
+    The reference's pySHACL step only prints the report
+    (relations.py:908-927). The engine replicates the emission faithfully;
+    the expected violation count is re-derived here with an independent
+    DataFrame query as a cross-check of the validator."""
+    from wikidata_to_cidoc_crm_spark.model import INTRO
     from wikidata_to_cidoc_crm_spark.plans.relations import relations_stage
 
     world, dims = world_dims
@@ -129,4 +153,15 @@ def test_relations_stage_conforms(spark, world_dims):
     out = relations_stage(
         spark, qids, dims["wd_statements"], dims["wd_labels"],
         dims["wd_subclass_closure"], dims["wd_property_closure"])
-    assert _violations(out, RELATIONS_SHAPES) == {}
+    rels = out.filter(
+        (F.col("pred") == RDF_TYPE)
+        & (F.col("obj") == INTRO + "INT31_IntertextualRelation")
+    ).select(F.col("subj").alias("rel")).distinct()
+    r24 = out.filter(F.col("pred") == INTRO + "R24_hasRelatedEntity") \
+        .select(F.col("subj").alias("rel"), "obj").distinct() \
+        .groupBy("rel").count().filter(F.col("count") >= 2)
+    n_underlinked = rels.join(r24, "rel", "left_anti").count()
+    assert n_underlinked > 0
+    assert _violations(out, RELATIONS_SHAPES) == {
+        ("IntertextualRelationShape", "R24_hasRelatedEntity.minCount2"):
+            n_underlinked}

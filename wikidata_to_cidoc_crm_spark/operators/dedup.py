@@ -235,16 +235,26 @@ def minhash_lsh_dedup(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, hash_mode: str = "xxhash64") -> DataFrame:
     """(id, bits: array<int>) SimHash over tokens, via bit-vote aggregation.
 
-    Per token: h = xxhash64(token); per bit b: vote +1 if set else -1;
+    Per token: h = hash(token); per bit b: vote +1 if set else -1;
     fingerprint bit = sign of the vote sum. The fingerprint is kept as a
     bit array (JVM-friendly; packing to int64 needs no per-bit shifts in
     any downstream op — hamming and chunking both work on the array).
+
+    ``hash_mode="xxhash64"`` is the fast production path (64-bit);
+    ``hash_mode="md5"`` uses the low 48 bits of md5 so ANSI engines can
+    replicate the fingerprint exactly (DuckDB:
+    ``CAST('0x' || substr(md5(token), 1, 12) AS BIGINT)``) — pass
+    ``bits=48`` with it.
     """
     toks = token_sets(docs, id_col, text_col)
-    toks = toks.withColumn("h", F.xxhash64("token"))
+    if hash_mode == "md5":
+        toks = toks.withColumn(
+            "h", F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long"))
+    else:
+        toks = toks.withColumn("h", F.xxhash64("token"))
     bitvec = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.when(F.getbit("h", b) == 1, 1).otherwise(-1),
@@ -268,7 +278,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 8,
-                       bits: int = 64) -> DataFrame:
+                       bits: int = 64, hash_mode: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — EXACT recall.
 
     Blocking: the fingerprint is split into ``max_hamming + 1`` chunks; by
@@ -286,7 +296,7 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     if n_chunks > bits:
         raise ValueError(f"max_hamming+1={n_chunks} chunks exceed {bits} bits")
     width = bits // n_chunks
-    sh = simhash(docs, id_col, text_col, bits).cache()
+    sh = simhash(docs, id_col, text_col, bits, hash_mode).cache()
     chunks = sh.select(
         "id", "bits",
         F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),

@@ -89,18 +89,22 @@ def validate(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
     """triples(subj,pred,obj,obj_is_iri,lang,dtype) → violations
     ``(shape, constraint, focus)``. Empty result = conforms."""
     spark = triples.sparkSession
-    t = triples.select("subj", "pred", "obj", "obj_is_iri", "lang", "dtype")
+    # materialize ONCE: every constraint branch below re-scans the triple
+    # table; without this each of the ~100s of branches would replay the
+    # entire upstream plan that produced `triples`
+    t = triples.select("subj", "pred", "obj", "obj_is_iri", "lang", "dtype") \
+        .localCheckpoint(eager=True)
     typed = (
         t.filter(F.col("pred") == RDF_TYPE)
         .select(F.col("subj").alias("focus"), F.col("obj").alias("cls"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         t.select(F.col("subj").alias("focus"))
         .union(t.filter("obj_is_iri").select(F.col("obj").alias("focus")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     by_name = {s.name: s for s in shapes}
     out: list[DataFrame] = []
@@ -113,7 +117,7 @@ def validate(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
         ).distinct())
 
     for shape in shapes:
-        focus = _focus(t, typed, nodes, shape).localCheckpoint(eager=False)
+        focus = _focus(t, typed, nodes, shape).localCheckpoint(eager=True)
         for p in shape.props:
             if p.inverse:
                 edges = t.filter(F.col("pred") == p.path).select(
@@ -130,7 +134,8 @@ def validate(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
                     F.col("dtype").alias("val_dtype"),
                 )
             fedges = edges.join(focus, "focus", "left_semi")
-            cname = ("^" if p.inverse else "") + p.path.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+            cname = ("^" if p.inverse else "") + \
+                p.path.rsplit("/", 1)[-1].rsplit("#", 1)[-1].rsplit(":", 1)[-1]
 
             if p.min_count > 0 or p.max_count is not None:
                 cnt = fedges.groupBy("focus").agg(F.count("*").alias("_n"))
