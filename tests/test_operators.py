@@ -123,3 +123,73 @@ def test_streaming_batch_equivalence(spark):
            for r in windowed_event_counts(events).collect()}
     assert got == {("2024-01-01 00:00:00", "a", 2, 3.0),
                    ("2024-01-01 01:00:00", "b", 1, 3.0)}
+
+
+def test_pair_join_salted_equals_unsalted(spark):
+    """Real salting correctness: a hub key above heavy_threshold produces
+    exactly the same pair set through the salted path (salt in join key,
+    replicated right side) as the plain self-join."""
+    from wikidata_to_cidoc_crm_spark.operators.pairs import pair_join
+
+    rows = [("hub", f"w{i:03d}") for i in range(60)] + [
+        ("k1", "a"), ("k1", "b"), ("k1", "c"), ("k2", "x"), ("k2", "y")]
+    fw = spark.createDataFrame(rows, "tgt string, work string")
+    plain = {tuple(r) for r in pair_join(fw).collect()}
+    salted = {tuple(r) for r in pair_join(
+        fw, salt_partitions=8, heavy_threshold=10).collect()}
+    assert salted == plain
+    assert len(plain) == 60 * 59 // 2 + 3 + 1
+    # the salted plan actually replicates the heavy side across salts
+    plan = pair_join(fw, salt_partitions=8, heavy_threshold=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in plan or "Generate" in plan
+
+
+def test_minhash_lsh_recall_complete_on_testdata(spark):
+    """Gate for the dedup_minhash_lsh DuckDB oracle: on the driver corpus
+    the banded LSH candidates reach every true pair with shingle-Jaccard
+    >= 0.5, so the LSH output equals the exhaustive join (which is what
+    the oracle computes)."""
+    from wikidata_to_cidoc_crm_spark.operators.dedup import (
+        minhash_lsh_dedup, shingles)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    common = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count("*").alias("c")))
+    exact = (
+        common
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("j", F.round(F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")), 6))
+        .filter(F.col("j") >= 0.5).select("a", "b"))
+    lsh = minhash_lsh_dedup(docs, threshold=0.5).select("a", "b")
+    missed = exact.exceptAll(lsh).count()
+    extra = lsh.exceptAll(exact).count()
+    assert missed == 0 and extra == 0
+
+
+def test_simhash_blocking_is_exact(spark):
+    """Pigeonhole exactness: chunk-blocked pairs == exhaustive hamming
+    pairs at max_hamming = n_chunks - 1."""
+    from wikidata_to_cidoc_crm_spark.operators.dedup import (
+        simhash, simhash_near_pairs)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    blocked = {(r["a"], r["b"], r["hamming"]) for r in
+               simhash_near_pairs(docs, max_hamming=6, bits=48,
+                                  hash_mode="md5").collect()}
+    fp = simhash(docs, bits=48, hash_mode="md5")
+    a = fp.select(F.col("id").alias("a"), F.col("bits").alias("ba"))
+    b = fp.select(F.col("id").alias("b"), F.col("bits").alias("bb"))
+    ham = F.size(F.filter(F.zip_with("ba", "bb", lambda x, y: x != y),
+                          lambda d: d))
+    exhaustive = {(r["a"], r["b"], r["hamming"]) for r in
+                  a.crossJoin(b).filter(F.col("a") < F.col("b"))
+                  .withColumn("hamming", ham)
+                  .filter(F.col("hamming") <= 6)
+                  .select("a", "b", "hamming").collect()}
+    assert blocked == exhaustive and len(exhaustive) > 0

@@ -1,13 +1,21 @@
 """Scaling-efficiency benchmark (BASELINE.json north_rule).
 
 Sandbox proxy for the N→4N executor criterion: the SAME pipeline + input
-runs at local[8] and local[32] (one subprocess each, fresh JVM), measuring
-the *executed-stage* wall-clock (BASELINE.md protocol: plan construction is
-driver-side fixed cost, reported separately). Prints a summary and writes
-BENCH/BASELINE.md. Also verifies determinism: both runs must produce the
-identical sorted triple-set hash.
+runs at two parallelism-level pairs — local[4]→local[16] and
+local[8]→local[32] — in fresh JVMs. Throughput = emitted triples /
+end-to-end wall-clock; per-stage exec seconds are reported so the
+fixed-cost share (driver-side plan construction, dimension-sized fixpoint
+loops) is visible. Determinism is verified with an order-independent
+distributed digest over the full 6-tuple triple set (count + sum of
+per-row xxhash64 — no driver-side collect, so it works at any scale);
+both runs must produce the identical digest.
 
-Usage: python tools/scaling_bench.py [sf_dir] [runs]
+The 8→32 pair saturates this machine's 32 hardware threads and shared
+memory bandwidth, so it UNDER-reports cluster scaling; the 4→16 pair
+leaves headroom and is the better proxy for adding executors. Both are
+reported.
+
+Usage: python tools/scaling_bench.py [sf_dir] [runs] [world_scale]
 """
 
 from __future__ import annotations
@@ -20,8 +28,9 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import hashlib, json, os, sys, time
+import json, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from wikidata_to_cidoc_crm_spark.session import get_spark
 from wikidata_to_cidoc_crm_spark.pipeline import run_pipeline
 
@@ -29,28 +38,38 @@ cores = int(sys.argv[1]); sf_dir = sys.argv[2]; runs = int(sys.argv[3])
 world_scale = int(sys.argv[4])
 spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores)
 results = []
+digest = None
 for i in range(runs + 1):  # first run is warm-up (discarded)
     t0 = time.time()
     df = run_pipeline(spark, sf_dir, check_invariant=False,
                       world_scale=world_scale)
-    n = df.count()
+    # order-independent set digest, computed distributed (no collect)
+    h = df.select(F.xxhash64("subj", "pred", "obj", "obj_is_iri",
+                             "lang", "dtype").alias("h")) \
+          .agg(F.count("*").alias("n"),
+               F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum"),
+               F.sum(F.pmod(F.col("h"), F.lit(1000003))).alias("hmod")) \
+          .collect()[0]
     total_sec = time.time() - t0
+    digest = f'{{h["hsum"]}}_{{h["hmod"]}}_{{h["n"]}}'
     exec_sec = sum(m.get("exec_sec", 0.0) for m in df._pipeline_metrics)
     plan_sec = sum(m.get("plan_sec", 0.0) for m in df._pipeline_metrics)
     results.append({{"total_sec": total_sec, "exec_sec": exec_sec,
-                     "plan_sec": plan_sec, "triples": n}})
-# determinism hash over the sorted triple set
-rows = df.select("subj", "pred", "obj", "lang", "dtype").collect()
-lines = sorted("\x1f".join("" if v is None else str(v) for v in r) for r in rows)
-h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+                     "plan_sec": plan_sec, "triples": h["n"],
+                     "stages": [{{"stage": m["stage"],
+                                  "exec": m.get("exec_sec"),
+                                  "plan": m.get("plan_sec")}}
+                                for m in df._pipeline_metrics]}})
 timed = results[1:]
+best = min(range(len(timed)), key=lambda i: timed[i]["total_sec"])
 print(json.dumps({{
     "cores": cores,
     "triples": results[-1]["triples"],
     "total_sec": [round(r["total_sec"], 2) for r in timed],
     "exec_sec": [round(r["exec_sec"], 2) for r in timed],
     "plan_sec": [round(r["plan_sec"], 2) for r in timed],
-    "hash": h,
+    "stages": timed[best]["stages"],
+    "hash": digest,
 }}))
 """
 
@@ -68,55 +87,74 @@ def run_level(cores: int, sf_dir: str, runs: int, world_scale: int) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    world_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    world_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 400
     levels = {}
-    for cores in (8, 32):
+    for cores in (4, 16, 8, 32):
         levels[cores] = run_level(cores, sf_dir, runs, world_scale)
-        print(f"local[{cores}]: {levels[cores]}")
+        print(f"local[{cores}]: "
+              f"total={levels[cores]['total_sec']} "
+              f"triples={levels[cores]['triples']} hash={levels[cores]['hash'][:24]}…")
 
-    n8 = levels[8]["triples"]
-    e8, e32 = min(levels[8]["exec_sec"]), min(levels[32]["exec_sec"])
-    t8, t32 = min(levels[8]["total_sec"]), min(levels[32]["total_sec"])
-    tput8, tput32 = n8 / e8, levels[32]["triples"] / e32
-    eff = tput32 / (4 * tput8)
-    wall_eff = (levels[32]["triples"] / t32) / (4 * (n8 / t8))
-    same = levels[8]["hash"] == levels[32]["hash"]
-    print(f"exec throughput local[8]={tput8:.1f}/s local[32]={tput32:.1f}/s "
-          f"efficiency={eff:.2f} (wall-incl-fixed: {wall_eff:.2f}) "
+    def tput(c):
+        return levels[c]["triples"] / min(levels[c]["total_sec"])
+
+    eff_4_16 = tput(16) / (4 * tput(4))
+    eff_8_32 = tput(32) / (4 * tput(8))
+    hashes = {levels[c]["hash"] for c in levels}
+    same = len(hashes) == 1
+    print(f"throughput t/s: 4={tput(4):.0f} 16={tput(16):.0f} "
+          f"8={tput(8):.0f} 32={tput(32):.0f}")
+    print(f"efficiency 4->16: {eff_4_16:.2f}  8->32: {eff_8_32:.2f}  "
           f"deterministic={same}")
+
+    stage_rows = []
+    for c in (4, 16, 8, 32):
+        for s in levels[c]["stages"]:
+            stage_rows.append((c, s["stage"], s["exec"], s["plan"]))
+    by_stage: dict[str, dict[int, tuple]] = {}
+    for c, st, e, p in stage_rows:
+        by_stage.setdefault(st, {})[c] = (e, p)
+    stage_md = "| stage | exec@4 | exec@16 | exec@8 | exec@32 |\n|---|---|---|---|---|\n"
+    for st, per in by_stage.items():
+        stage_md += ("| " + st + " | "
+                     + " | ".join(f"{per.get(c, (None,))[0]}" for c in (4, 16, 8, 32))
+                     + " |\n")
 
     md = f"""# BENCH — scaling efficiency (north rule evidence)
 
 Sandbox proxy for the N→4N executor criterion (no real cluster available):
-the identical KG pipeline + input ran at `local[8]` and `local[32]`
-(separate JVMs, shuffle partitions = cores, warm-up run discarded, best of
-{runs} timed run(s), world_scale={world_scale}). Per the BASELINE.md
-measurement protocol, throughput = emitted triples / wall-clock of the
-**executed stages** (corpus gen, linking, mapping, merge, align — the work
-that scales with data); driver-side plan construction is a fixed cost
-independent of both data volume and core count, reported separately.
+the identical KG pipeline + input ran at two parallelism-level pairs in
+fresh JVMs (warm-up run discarded, best of {runs} timed run(s),
+world_scale={world_scale}, input `{sf_dir}`). Throughput = emitted
+triples / end-to-end wall-clock.
 
-| level | triples | stage-exec sec | plan sec (fixed) | total sec | triples/sec (exec) |
-|---|---|---|---|---|---|
-| local[8]  | {n8} | {e8:.2f} | {min(levels[8]['plan_sec']):.2f} | {t8:.2f} | {tput8:.1f} |
-| local[32] | {levels[32]['triples']} | {e32:.2f} | {min(levels[32]['plan_sec']):.2f} | {t32:.2f} | {tput32:.1f} |
+| level | triples | total sec (all runs) | triples/sec (best) |
+|---|---|---|---|
+| local[4]  | {levels[4]['triples']} | {levels[4]['total_sec']} | {tput(4):.0f} |
+| local[16] | {levels[16]['triples']} | {levels[16]['total_sec']} | {tput(16):.0f} |
+| local[8]  | {levels[8]['triples']} | {levels[8]['total_sec']} | {tput(8):.0f} |
+| local[32] | {levels[32]['triples']} | {levels[32]['total_sec']} | {tput(32):.0f} |
 
-**Scaling efficiency (exec throughput32 / (4 × exec throughput8)) = {eff:.2f}**
-(wall-clock-including-fixed-cost efficiency: {wall_eff:.2f})
+**Scaling efficiency: 4→16 = {eff_4_16:.2f}; 8→32 = {eff_8_32:.2f}**
+(target ≥ 0.8 on a real cluster).
 
-Determinism: sorted-triple-set sha256 identical across parallelism levels:
-**{same}** (`{levels[8]['hash'][:16]}…`).
+Determinism: order-independent triple-set digest (count + Σ xxhash64 over
+the full 6-tuple, computed distributed) identical across ALL four
+parallelism levels: **{same}** (`{levels[4]['hash'][:32]}…`).
 
-Input: `{sf_dir}`. All values: local[8] exec={levels[8]['exec_sec']},
-total={levels[8]['total_sec']}; local[32] exec={levels[32]['exec_sec']},
-total={levels[32]['total_sec']}.
+Per-stage exec seconds (best run):
 
-Interpretation: the fixed cost is ~1–2 min of Catalyst/py4j plan
-construction for a ~90-rule, 7-stage DAG — it does not grow with data and
-amortizes to nothing at 100 TB. The executed stages are shuffle/join work
-that scales with cores; a single shared-memory machine still under-reports
-cluster scaling (shared shuffle disk, one JVM heap, memory-bandwidth
-contention at 32 threads).
+{stage_md}
+Interpretation: the two pairs bracket the machine's limits. local[8]→
+local[32] spans all 32 hardware threads of one box — shared memory
+bandwidth, one shuffle disk and one JVM heap mean extra threads stop
+helping well before 4x, so that pair under-reports cluster scaling.
+local[4]→local[16] leaves bandwidth headroom and is the closer proxy for
+adding executors. The remaining gap to 1.0 is fixed per-stage cost that
+does not grow with data (driver-side plan construction for the ~90-rule
+DAG, dimension-sized canonicalization fixpoints of a few seconds per
+round) and amortizes away at 100 TB where stage exec is hours, not tens
+of seconds.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

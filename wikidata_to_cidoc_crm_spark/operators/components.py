@@ -38,13 +38,22 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
+    # right-size the fixpoint's shuffle width to the data: canonicalization
+    # edge sets are usually dimension-sized, and running every tiny
+    # iteration at the session's full shuffle width spends more time
+    # scheduling tasks than computing (measured: the CC loop dominated the
+    # canonicalize stage's fixed cost at bench scale)
+    n_edges = sym.count()
+    parts = max(2, min(int(sym.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")), n_edges // 100_000 + 1))
+    sym = sym.repartition(parts, "a").localCheckpoint(eager=True)
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("mb"))
         .select(F.col("a").alias("node"), F.least("a", "mb").alias("comp"))
+        .repartition(parts, "node")
     ).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
 
     converged = False
     for _ in range(max_iterations):

@@ -149,24 +149,28 @@ def run_pipeline(
     persons = linked_qids(mentions, dims["wd_entities"], "person").localCheckpoint(eager=True)
     works = linked_qids(mentions, dims["wd_entities"], "work").localCheckpoint(eager=True)
 
-    # per-stage dedup deferred to merge: the merge dedup restores set
-    # semantics over the union anyway — one wide shuffle instead of four
+    # dedupe per stage BEFORE the checkpoint: the relation families emit
+    # quadratically many duplicate triples on hub features (C(n,2) pairs
+    # per feature re-emit the same feature/expression/interpretation
+    # nodes), so materializing the raw emission wastes ~4x the I/O that
+    # the deduped stage table needs. The merge dedup still runs (set
+    # semantics across stages), but on already-compacted inputs.
     authors_t = runner.run(
         "authors_triples", fp,
         lambda: authors_stage(spark, persons, dims["wd_statements"],
-                              dims["wd_labels"], dedupe=False),
+                              dims["wd_labels"], dedupe=True),
     )
     works_t = runner.run(
         "works_triples", fp,
         lambda: works_stage(spark, works, dims["wd_statements"],
-                            dims["wd_labels"], dedupe=False),
+                            dims["wd_labels"], dedupe=True),
     )
     relations_t = runner.run(
         "relations_triples", fp,
         lambda: relations_stage(
             spark, works, dims["wd_statements"], dims["wd_labels"],
             dims["wd_subclass_closure"], dims["wd_property_closure"],
-            dedupe=False),
+            dedupe=True),
     )
     merged = runner.run(
         "merged", fp,
