@@ -56,8 +56,9 @@ def main() -> None:
     headline = [
         "j8_pair_join", "j10_multi_hop", "a3_having_count_distinct",
         "a6_window_dedup", "u3_undirected_pairs", "closure_transitive",
-        "dedup_minhash_lsh", "dedup_token_jaccard", "ann_topk_cosine",
-        "text_quality", "stream_window_counts",
+        "cc_components", "dedup_minhash_lsh", "dedup_token_jaccard",
+        "dedup_simhash", "ann_topk_cosine", "ann_lsh_topk",
+        "text_quality", "stream_window_counts", "shacl_violations",
     ]
     for name in headline:
         t0 = time.time()

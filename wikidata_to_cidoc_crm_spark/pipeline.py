@@ -59,15 +59,13 @@ class StageRunner:
                     return df
             df = build()
             # partition triple-shaped outputs by subject hash bucket
-            # (north rule: repartition by subject-hash)
-            if "subj" in df.columns:
-                df = df.withColumn(
-                    "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(TRIPLE_BUCKETS))
-                )
-                df.write.mode("overwrite").partitionBy("subj_bucket").parquet(path)
-            else:
-                df.write.mode("overwrite").parquet(path)
-            out = self.spark.read.parquet(path)
+            # (north rule: repartition by subject-hash). write_triples uses
+            # Iceberg's bucket(64, subj) transform when a catalog is
+            # configured; parquet with an explicit subj_bucket otherwise.
+            from .sources.sinks import read_triples_table, write_triples
+
+            target = write_triples(df, name, path)
+            out = read_triples_table(self.spark, target)
             meta = {
                 "stage": name,
                 "fingerprint": fingerprint,
