@@ -342,6 +342,15 @@ def _cc_components(spark, sf):
     )
 
 
+def _dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (exact all-pairs at contract scale;
+    the production path blocks through hyperplane_buckets first)."""
+    from wikidata_to_cidoc_crm_spark.operators.similarity import cosine_near_pairs
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return cosine_near_pairs(emb, threshold=0.25)
+
+
 def _ann_topk_cosine(spark, sf):
     from wikidata_to_cidoc_crm_spark.operators.similarity import brute_force_topk
 
@@ -600,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         # similarity search
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
         "ann_topk_cosine": _ann_topk_cosine,
         "ann_lsh_topk": _ann_lsh_topk,
         # text analysis
@@ -832,6 +842,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON common.b = sb.id
             WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.5
             GROUP BY 1
+        """,
+        "dedup_embedding_cosine": """
+            WITH emb AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 200
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.e, y.e), 4) AS score
+            FROM emb x JOIN emb y ON x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.25
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

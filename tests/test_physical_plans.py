@@ -58,3 +58,34 @@ def test_aggregate_is_partial_then_final(spark):
     df = entrymod.queries()["a3_having_count_distinct"](spark, SF)
     plan = _plan(df, "simple")
     assert "HashAggregate" in plan  # partial/final hash aggregation
+
+
+def test_merge_single_exchange_for_dedup_and_label_window(spark, dims, world):
+    """merge_stage's repartition(subj) must be the ONLY full-graph exchange:
+    dropDuplicates (subj is a key prefix) and the label window
+    (partitionBy subj) both reuse it instead of shuffling again."""
+    from wikidata_to_cidoc_crm_spark.plans.authors import authors_stage
+    from wikidata_to_cidoc_crm_spark.plans.merge import merge_stage
+
+    qids = spark.createDataFrame([(p["qid"],) for p in world.persons],
+                                 "qid string")
+    a = authors_stage(spark, qids, dims["wd_statements"], dims["wd_labels"]) \
+        .localCheckpoint(eager=True)
+    merged = merge_stage(spark, [a])
+    plan = _plan(merged, "simple")
+    # exchanges: 1 full-graph hashpartitioning(subj) + at most the tiny
+    # broadcast for the ontology anti-join and the constant header union
+    big_exchanges = [ln for ln in plan.splitlines()
+                     if "Exchange hashpartitioning" in ln]
+    assert len(big_exchanges) == 1, plan
+
+
+def test_jaccard_prefix_filter_has_no_stopword_hub_join(spark):
+    """The prefix-filtered jaccard plan joins on prefix tokens only —
+    verified indirectly: the candidate join is preceded by the DF-rank
+    window (row_number over df asc), which the naive all-token join lacks."""
+    from wikidata_to_cidoc_crm_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(jaccard_pairs(docs, threshold=0.5), "simple")
+    assert "row_number" in plan

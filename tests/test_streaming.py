@@ -39,3 +39,32 @@ def test_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from win_counts").collect()
     }
     assert got == expected
+
+
+def test_stateful_streaming_dedup_matches_batch_twin(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streaming
+    first-seen dedup emits exactly one row per fingerprint and matches the
+    batch window twin (single micro-batch => first-arrival == min doc_id)."""
+    from wikidata_to_cidoc_crm_spark.streaming.dedup_stream import (
+        batch_first_seen, streaming_first_seen)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    src_dir = str(tmp_path / "docs_dir")
+    docs.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    expected = {(r["fingerprint"], r["doc_id"])
+                for r in batch_first_seen(spark.read.parquet(src_dir)).collect()}
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema).parquet(src_dir)
+    out = streaming_first_seen(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("first_seen")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = {(r["fingerprint"], r["doc_id"])
+           for r in spark.sql("select * from first_seen").collect()}
+    assert got == expected and len(got) > 0

@@ -15,7 +15,8 @@ memory bandwidth, so it UNDER-reports cluster scaling; the 4→16 pair
 leaves headroom and is the better proxy for adding executors. Both are
 reported.
 
-Usage: python tools/scaling_bench.py [sf_dir] [runs] [world_scale]
+Usage: python tools/scaling_bench.py [sf_dir] [runs] [world_scale] [levels]
+       levels: comma-separated core counts, default "4,16,8,32"
 """
 
 from __future__ import annotations
@@ -88,8 +89,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     world_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    level_list = tuple(int(x) for x in sys.argv[4].split(",")) \
+        if len(sys.argv) > 4 else (4, 16, 8, 32)
     levels = {}
-    for cores in (4, 16, 8, 32):
+    for cores in level_list:
         levels[cores] = run_level(cores, sf_dir, runs, world_scale)
         print(f"local[{cores}]: "
               f"total={levels[cores]['total_sec']} "
@@ -98,49 +101,50 @@ def main() -> None:
     def tput(c):
         return levels[c]["triples"] / min(levels[c]["total_sec"])
 
-    eff_4_16 = tput(16) / (4 * tput(4))
-    eff_8_32 = tput(32) / (4 * tput(8))
+    effs = {}
+    for lo in level_list:
+        if lo * 4 in levels:
+            effs[(lo, lo * 4)] = tput(lo * 4) / (4 * tput(lo))
     hashes = {levels[c]["hash"] for c in levels}
     same = len(hashes) == 1
-    print(f"throughput t/s: 4={tput(4):.0f} 16={tput(16):.0f} "
-          f"8={tput(8):.0f} 32={tput(32):.0f}")
-    print(f"efficiency 4->16: {eff_4_16:.2f}  8->32: {eff_8_32:.2f}  "
-          f"deterministic={same}")
+    print("throughput t/s: " + " ".join(
+        f"{c}={tput(c):.0f}" for c in level_list))
+    print("efficiency " + "  ".join(
+        f"{a}->{b}: {e:.2f}" for (a, b), e in effs.items())
+        + f"  deterministic={same}")
 
-    stage_rows = []
-    for c in (4, 16, 8, 32):
+    by_stage: dict[str, dict[int, float]] = {}
+    for c in level_list:
         for s in levels[c]["stages"]:
-            stage_rows.append((c, s["stage"], s["exec"], s["plan"]))
-    by_stage: dict[str, dict[int, tuple]] = {}
-    for c, st, e, p in stage_rows:
-        by_stage.setdefault(st, {})[c] = (e, p)
-    stage_md = "| stage | exec@4 | exec@16 | exec@8 | exec@32 |\n|---|---|---|---|---|\n"
+            by_stage.setdefault(s["stage"], {})[c] = s["exec"]
+    stage_md = ("| stage | " + " | ".join(f"exec@{c}" for c in level_list)
+                + " |\n|" + "---|" * (len(level_list) + 1) + "\n")
     for st, per in by_stage.items():
         stage_md += ("| " + st + " | "
-                     + " | ".join(f"{per.get(c, (None,))[0]}" for c in (4, 16, 8, 32))
+                     + " | ".join(f"{per.get(c)}" for c in level_list)
                      + " |\n")
+
+    level_md = "".join(
+        f"| local[{c}] | {levels[c]['triples']} | {levels[c]['total_sec']} "
+        f"| {tput(c):.0f} |\n" for c in level_list)
+    eff_md = "; ".join(f"{a}→{b} = {e:.2f}" for (a, b), e in effs.items())
 
     md = f"""# BENCH — scaling efficiency (north rule evidence)
 
 Sandbox proxy for the N→4N executor criterion (no real cluster available):
-the identical KG pipeline + input ran at two parallelism-level pairs in
+the identical KG pipeline + input ran at multiple parallelism levels in
 fresh JVMs (warm-up run discarded, best of {runs} timed run(s),
 world_scale={world_scale}, input `{sf_dir}`). Throughput = emitted
 triples / end-to-end wall-clock.
 
 | level | triples | total sec (all runs) | triples/sec (best) |
 |---|---|---|---|
-| local[4]  | {levels[4]['triples']} | {levels[4]['total_sec']} | {tput(4):.0f} |
-| local[16] | {levels[16]['triples']} | {levels[16]['total_sec']} | {tput(16):.0f} |
-| local[8]  | {levels[8]['triples']} | {levels[8]['total_sec']} | {tput(8):.0f} |
-| local[32] | {levels[32]['triples']} | {levels[32]['total_sec']} | {tput(32):.0f} |
-
-**Scaling efficiency: 4→16 = {eff_4_16:.2f}; 8→32 = {eff_8_32:.2f}**
-(target ≥ 0.8 on a real cluster).
+{level_md}
+**Scaling efficiency: {eff_md}** (target ≥ 0.8 on a real cluster).
 
 Determinism: order-independent triple-set digest (count + Σ xxhash64 over
-the full 6-tuple, computed distributed) identical across ALL four
-parallelism levels: **{same}** (`{levels[4]['hash'][:32]}…`).
+the full 6-tuple, computed distributed) identical across ALL measured
+parallelism levels: **{same}** (`{levels[level_list[0]]['hash'][:32]}…`).
 
 Per-stage exec seconds (best run):
 

@@ -184,5 +184,8 @@ def cosine_near_pairs(
     b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
     pairs = with_cosine(pairs, "va", "vb", "score")
-    return pairs.filter(F.col("score") >= threshold).select(
-        "a", "b", F.round("score", 4).alias("score"))
+    # threshold on the ROUNDED score: keeps the cut boundary bit-stable
+    # across engines (cross-engine float noise is far below the 4-decimal
+    # grain, so the rounded value is identical; the raw value is not)
+    pairs = pairs.withColumn("score", F.round("score", 4))
+    return pairs.filter(F.col("score") >= threshold).select("a", "b", "score")

@@ -78,8 +78,15 @@ def merge_stage(spark: SparkSession, graphs: list[DataFrame]) -> DataFrame:
     g = graphs[0]
     for other in graphs[1:]:
         g = g.unionByName(other)
-    # truncate lineage after the union-dedup: the downstream label window and
-    # anti-join then plan against a flat scan, not the stages' full DAGs
-    g = dedupe_triples(g).localCheckpoint(eager=False)
-    g = cleanup_duplicate_labels(g)
+    # ONE exchange serves both heavy steps: hash-partitioning by subj
+    # satisfies the dropDuplicates clustering (subj is a subset of the
+    # triple key) AND the label window's partitionBy(subj), so Catalyst
+    # reuses the repartition instead of shuffling the full graph twice.
+    # The lineage-truncating checkpoint comes AFTER the window — a
+    # checkpoint in between would erase the partitioning info and force a
+    # second full shuffle (and make the ontology anti-join's broadcast
+    # side recompute the window subtree).
+    g = g.repartition(F.col("subj"))
+    g = dedupe_triples(g)
+    g = cleanup_duplicate_labels(g).localCheckpoint(eager=False)
     return cleanup_ontology(spark, g)
