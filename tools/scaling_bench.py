@@ -51,6 +51,7 @@ for i in range(runs + 1):  # first run is warm-up (discarded)
                F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum"),
                F.sum(F.pmod(F.col("h"), F.lit(1000003))).alias("hmod")) \
           .collect()[0]
+    df._pipeline_runner.wait()  # background stage-exec threads (pipelined runner)
     total_sec = time.time() - t0
     digest = f'{{h["hsum"]}}_{{h["hmod"]}}_{{h["n"]}}'
     exec_sec = sum(m.get("exec_sec", 0.0) for m in df._pipeline_metrics)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,12 +37,41 @@ TRIPLE_BUCKETS = 64
 
 
 class StageRunner:
-    """Checkpointed stage execution with lineage metrics."""
+    """Checkpointed stage execution with lineage metrics.
 
-    def __init__(self, spark: SparkSession, checkpoint_dir: str | None = None):
+    When ``pipelined`` (default, in-memory mode only), each stage's
+    distributed execution is forced from a background thread while the
+    driver goes on to build the NEXT stage's plan — driver-side plan
+    construction (py4j round-trips + Catalyst analysis, a fixed cost
+    independent of data volume) overlaps with cluster execution instead of
+    serializing with it. Correctness is unaffected: the lazy local
+    checkpoint is materialized under Spark's per-block locks, so a
+    downstream action that reaches it first simply computes it once and
+    the background ``count`` finds the blocks cached. Call :meth:`wait`
+    (or run any action on the final stage) before reading ``exec_sec``
+    metrics.
+    """
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str | None = None,
+                 pipelined: bool = True):
         self.spark = spark
         self.dir = checkpoint_dir
         self.metrics: list[dict] = []
+        self._pool = (ThreadPoolExecutor(max_workers=2, thread_name_prefix="stage-exec")
+                      if pipelined and checkpoint_dir is None else None)
+        self._pending: list = []
+
+    @staticmethod
+    def _force(df: DataFrame, metric: dict, t_submit: float) -> None:
+        df.count()  # first action materializes the lazy local checkpoint
+        metric["exec_sec"] = round(time.time() - t_submit, 2)
+        metric["wall_sec"] = round(metric["plan_sec"] + metric["exec_sec"], 2)
+
+    def wait(self) -> None:
+        """Block until every background stage materialization finished."""
+        for fut in self._pending:
+            fut.result()
+        self._pending.clear()
 
     def run(self, name: str, fingerprint: str, build) -> DataFrame:
         t0 = time.time()
@@ -81,16 +111,19 @@ class StageRunner:
         # stay small (Catalyst analysis cost grows with plan depth) and each
         # stage materializes exactly once. plan_sec = driver-side plan
         # construction (fixed cost, amortizes at scale); exec_sec = the
-        # stage's distributed execution (the BASELINE.md-protocol number).
+        # stage's distributed execution (the BASELINE.md-protocol number;
+        # overlapped with the next stage's plan_sec when pipelined).
         df = build()
+        df = df.localCheckpoint(eager=False)
         t1 = time.time()
-        df = df.localCheckpoint(eager=True)
-        t2 = time.time()
-        self.metrics.append({"stage": name, "fingerprint": fingerprint,
-                             "plan_sec": round(t1 - t0, 2),
-                             "exec_sec": round(t2 - t1, 2),
-                             "wall_sec": round(t2 - t0, 2),
-                             "reused": False})
+        metric = {"stage": name, "fingerprint": fingerprint,
+                  "plan_sec": round(t1 - t0, 2), "reused": False}
+        self.metrics.append(metric)
+        if self._pool is not None:
+            self._pending.append(
+                self._pool.submit(self._force, df, metric, t1))
+        else:
+            self._force(df, metric, t1)
         return df
 
 
@@ -183,6 +216,7 @@ def run_pipeline(
         lambda: align_stage(spark, canonical, dims["wd_external_ids"]),
     )
     aligned._pipeline_metrics = runner.metrics  # introspection for bench
+    aligned._pipeline_runner = runner  # callers: runner.wait() before reading exec_sec
     return aligned
 
 
