@@ -80,6 +80,41 @@ def test_merge_single_exchange_for_dedup_and_label_window(spark, dims, world):
     assert len(big_exchanges) == 1, plan
 
 
+def test_label_broadcast_gate_falls_back_to_shuffle_join(spark, dims, world, monkeypatch):
+    """When the label table exceeds LABEL_BROADCAST_MAX the forced broadcast
+    must give way to a shuffle join (fact-sized labels would OOM a forced
+    broadcast at real-Wikidata scale) — and the result set is identical."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_cidoc_crm_spark.plans import relations as relmod
+    from wikidata_to_cidoc_crm_spark.plans.works import wide_works
+
+    works = spark.createDataFrame(
+        [(w["qid"],) for w in world.works], "qid string")
+    bcast = wide_works(works, dims["wd_statements"], dims["wd_labels"],
+                       broadcast_labels=True)
+    shuffled = wide_works(works, dims["wd_statements"], dims["wd_labels"],
+                          broadcast_labels=False)
+    # disable the size-based auto-broadcast so only the explicit hint
+    # decides (the fixture label dim is tiny and would auto-broadcast)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_shuffled = _plan(shuffled, "simple").count("BroadcastHashJoin")
+        n_bcast = _plan(bcast, "simple").count("BroadcastHashJoin")
+        # the gated path really does drop the broadcast hint on label joins
+        assert n_shuffled < n_bcast
+        # and the auto gate flips when the threshold is exceeded
+        monkeypatch.setattr(relmod, "LABEL_BROADCAST_MAX", 0)
+        auto = wide_works(works, dims["wd_statements"], dims["wd_labels"])
+        assert _plan(auto, "simple").count("BroadcastHashJoin") == n_shuffled
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    cols = ["qid", "label", "label_lang", "manif_label", "manif_lang"]
+    assert sorted(map(tuple, bcast.select(*cols).collect())) \
+        == sorted(map(tuple, shuffled.select(*cols).collect()))
+
+
 def test_jaccard_prefix_filter_has_no_stopword_hub_join(spark):
     """The prefix-filtered jaccard plan joins on prefix tokens only —
     verified indirectly: the candidate join is preceded by the DF-rank

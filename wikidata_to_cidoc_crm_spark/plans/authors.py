@@ -80,10 +80,16 @@ def wide_authors(
     lab_en = labels.filter(F.col("lang") == "en").select(
         F.col("qid").alias("_lqid"), F.col("label").alias("_label")
     )
+    # gate the forced label broadcast on dimension size (shuffle-join
+    # fallback for fact-sized label tables — same rule as relations_stage)
+    from .relations import LABEL_BROADCAST_MAX
+
+    _maybe_bcast = (F.broadcast if labels.count() <= LABEL_BROADCAST_MAX
+                    else (lambda df: df))
 
     def attach_label(df: DataFrame, key: str, out: str) -> DataFrame:
         return df.join(
-            F.broadcast(lab_en.withColumnRenamed("_lqid", key + "__k").withColumnRenamed("_label", out)),
+            _maybe_bcast(lab_en.withColumnRenamed("_lqid", key + "__k").withColumnRenamed("_label", out)),
             F.col(key) == F.col(key + "__k"),
             "left",
         ).drop(key + "__k")

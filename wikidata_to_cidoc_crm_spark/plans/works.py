@@ -73,7 +73,16 @@ def wide_works(
     work_qids: DataFrame,
     statements: DataFrame,
     labels: DataFrame,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
+    if broadcast_labels is None:
+        # gate the forced label broadcast on dimension size — same
+        # shuffle-join fallback as relations_stage (LABEL_BROADCAST_MAX);
+        # at real-Wikidata label volume a forced broadcast would OOM.
+        from .relations import LABEL_BROADCAST_MAX
+
+        broadcast_labels = labels.count() <= LABEL_BROADCAST_MAX
+    _maybe_bcast = F.broadcast if broadcast_labels else (lambda df: df)
     stmts = statements.join(
         work_qids.withColumnRenamed("qid", "subject_qid"), "subject_qid", "left_semi"
     )
@@ -115,7 +124,7 @@ def wide_works(
                      ("author_qid", "author_label"), ("pub_place_qid", "pub_place_label"),
                      ("publisher_qid", "publisher_label"), ("editor_qid", "editor_label")]:
         svc = _svc_label(labels, key, out)
-        w = w.join(F.broadcast(svc), key, "left").withColumn(
+        w = w.join(_maybe_bcast(svc), key, "left").withColumn(
             out,
             F.coalesce(F.col(out + "_en"), F.col(out + "_de"),
                        F.col(key) if key != "qid" else F.col("qid")),
@@ -126,7 +135,7 @@ def wide_works(
     de_labels = labels.filter(F.col("lang") == "de")
     for key, out in [("published_in", "published_in_de"), ("part_of", "part_of_de")]:
         dl = de_labels.select(F.col("qid").alias(key), F.col("label").alias(out))
-        w = w.join(F.broadcast(dl), key, "left")
+        w = w.join(_maybe_bcast(dl), key, "left")
 
     # label_for (works.py:308-316): title_de→de, title_en→en, workLabel→'de',
     # else Untitled→en. work_label is never null here (QID fallback), matching
