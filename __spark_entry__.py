@@ -297,6 +297,16 @@ def _dedup_fingerprint(spark, sf):
     return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
+def _dedup_first_seen(spark, sf):
+    """Batch twin of the streaming first-seen dedup operator
+    (streaming/dedup_stream.py, applyInPandasWithState): one row per
+    normalized-text fingerprint, first doc_id wins."""
+    from wikidata_to_cidoc_crm_spark.streaming.dedup_stream import batch_first_seen
+
+    return batch_first_seen(_t(spark, sf, "documents")).select(
+        "fingerprint", "doc_id")
+
+
 def _dedup_token_jaccard(spark, sf):
     from wikidata_to_cidoc_crm_spark.operators.dedup import jaccard_pairs
 
@@ -605,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup
         "dedup_exact_stats": _dedup_exact_stats,
         "dedup_fingerprint": _dedup_fingerprint,
+        "dedup_first_seen": _dedup_first_seen,
         "dedup_token_jaccard": _dedup_token_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -824,6 +835,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+        "dedup_first_seen": f"""
+            SELECT fingerprint, doc_id FROM (
+              SELECT md5({_NORM}) AS fingerprint,
+                     CAST(doc_id AS VARCHAR) AS doc_id,
+                     row_number() OVER (
+                       PARTITION BY md5({_NORM})
+                       ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+              FROM documents
+            ) WHERE rn = 1
         """,
         "dedup_token_jaccard": f"""
             WITH toks AS (
