@@ -186,23 +186,33 @@ def run_pipeline(
     # nodes), so materializing the raw emission wastes ~4x the I/O that
     # the deduped stage table needs. The merge dedup still runs (set
     # semantics across stages), but on already-compacted inputs.
-    authors_t = runner.run(
-        "authors_triples", fp,
-        lambda: authors_stage(spark, persons, dims["wd_statements"],
-                              dims["wd_labels"], dedupe=True),
-    )
-    works_t = runner.run(
-        "works_triples", fp,
-        lambda: works_stage(spark, works, dims["wd_statements"],
-                            dims["wd_labels"], dedupe=True),
-    )
-    relations_t = runner.run(
-        "relations_triples", fp,
-        lambda: relations_stage(
-            spark, works, dims["wd_statements"], dims["wd_labels"],
-            dims["wd_subclass_closure"], dims["wd_property_closure"],
-            dedupe=True),
-    )
+    #
+    # The three mapping stages are mutually independent (each reads only
+    # the linked QIDs + dims), so their plan CONSTRUCTION runs in parallel
+    # threads: driver-side Catalyst/py4j work is the pipeline's dominant
+    # serial cost (the executors would otherwise idle while the driver
+    # builds the ~90-rule relations DAG), and multi-threaded plan building
+    # against one SparkSession is supported — each thread gets its own
+    # py4j connection, analysis is JVM-side and parallel.
+    with ThreadPoolExecutor(max_workers=3,
+                            thread_name_prefix="stage-plan") as plan_pool:
+        f_authors = plan_pool.submit(
+            runner.run, "authors_triples", fp,
+            lambda: authors_stage(spark, persons, dims["wd_statements"],
+                                  dims["wd_labels"], dedupe=True))
+        f_works = plan_pool.submit(
+            runner.run, "works_triples", fp,
+            lambda: works_stage(spark, works, dims["wd_statements"],
+                                dims["wd_labels"], dedupe=True))
+        f_relations = plan_pool.submit(
+            runner.run, "relations_triples", fp,
+            lambda: relations_stage(
+                spark, works, dims["wd_statements"], dims["wd_labels"],
+                dims["wd_subclass_closure"], dims["wd_property_closure"],
+                dedupe=True))
+        authors_t = f_authors.result()
+        works_t = f_works.result()
+        relations_t = f_relations.result()
     merged = runner.run(
         "merged", fp,
         lambda: merge_stage(spark, [authors_t, works_t, relations_t]),

@@ -77,9 +77,14 @@ def wide_authors(
     )
     wide = person_qids.join(pivoted, "qid", "left")
 
+    # ONE canonical (qid, label) build side shared by all four label joins:
+    # identical build-side subtrees let Spark reuse a single broadcast
+    # exchange (ReusedExchange) instead of building the hash relation per
+    # join site. The checkpoint pins the subtree so canonical equality is
+    # structural, not incidental.
     lab_en = labels.filter(F.col("lang") == "en").select(
         F.col("qid").alias("_lqid"), F.col("label").alias("_label")
-    )
+    ).localCheckpoint(eager=False)
     # gate the forced label broadcast on dimension size (shuffle-join
     # fallback for fact-sized label tables — same rule as relations_stage)
     from .relations import LABEL_BROADCAST_MAX
@@ -89,10 +94,10 @@ def wide_authors(
 
     def attach_label(df: DataFrame, key: str, out: str) -> DataFrame:
         return df.join(
-            _maybe_bcast(lab_en.withColumnRenamed("_lqid", key + "__k").withColumnRenamed("_label", out)),
-            F.col(key) == F.col(key + "__k"),
+            _maybe_bcast(lab_en),
+            F.col(key) == F.col("_lqid"),
             "left",
-        ).drop(key + "__k")
+        ).withColumnRenamed("_label", out).drop("_lqid")
 
     wide = attach_label(wide, "qid", "item_label")
     wide = attach_label(wide, "P21", "gender_label")

@@ -77,11 +77,16 @@ def canonicalize_stage(
     cmap = canonical_map(triples, classes, threshold).localCheckpoint(eager=True)
     if cmap.isEmpty():
         return triples
-    cm_s = cmap.withColumnRenamed("uri", "subj").withColumnRenamed("canonical", "_cs")
-    cm_o = cmap.withColumnRenamed("uri", "obj").withColumnRenamed("canonical", "_co")
+    # ONE canonical (uri, canonical) build side for both rewrite joins —
+    # identical subtrees let Spark build the broadcast hash relation once
+    # and serve the obj-side join via ReusedExchange (the map scales with
+    # data, so a second single-threaded build is real serial cost)
+    cm = cmap.select(F.col("uri").alias("__cu"), F.col("canonical").alias("__cc"))
     out = (
-        triples.join(F.broadcast(cm_s), "subj", "left")
-        .join(F.broadcast(cm_o), "obj", "left")
+        triples.join(F.broadcast(cm), F.col("subj") == F.col("__cu"), "left")
+        .withColumn("_cs", F.col("__cc")).drop("__cu", "__cc")
+        .join(F.broadcast(cm), F.col("obj") == F.col("__cu"), "left")
+        .withColumn("_co", F.col("__cc")).drop("__cu", "__cc")
         .select(
             F.coalesce("_cs", "subj").alias("subj"),
             "pred",

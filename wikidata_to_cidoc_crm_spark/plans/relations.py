@@ -96,13 +96,16 @@ LABEL_BROADCAST_MAX = 20_000_000
 
 def _attach_label(df: DataFrame, lab: DataFrame, key: str, out: str,
                   broadcast_hint: bool = True) -> DataFrame:
-    l = lab.select(F.col("qid").alias(key + "__k"), F.col("_lbl").alias(out + "__l"))
-    if broadcast_hint:
-        l = F.broadcast(l)
+    """Join ``lab`` (canonical ``(__lk, __lv)`` build side) onto ``df``.
+
+    All ~15 call sites share the SAME build-side subtree, so Spark builds
+    the broadcast hash relation once and ReusedExchange serves the rest —
+    per-site aliasing would defeat the exchange-reuse rule."""
+    l = F.broadcast(lab) if broadcast_hint else lab
     return (
-        df.join(l, F.col(key) == F.col(key + "__k"), "left")
-        .withColumn(out, F.coalesce(out + "__l", key))
-        .drop(key + "__k", out + "__l")
+        df.join(l, F.col(key) == F.col("__lk"), "left")
+        .withColumn(out, F.coalesce("__lv", key))
+        .drop("__lk", "__lv")
     )
 
 
@@ -131,7 +134,11 @@ def relations_stage(
     include_header: bool = True,
     dedupe: bool = True,
 ) -> DataFrame:
-    lab = _label_lookup(labels)
+    # canonical build side for every label attach (see _attach_label) —
+    # the checkpoint pins the subtree so exchange reuse is structural
+    lab = _label_lookup(labels).select(
+        F.col("qid").alias("__lk"), F.col("_lbl").alias("__lv")
+    ).localCheckpoint(eager=False)
     # gate the forced label broadcast on dimension size (shuffle-join
     # fallback for fact-sized label tables)
     lab_bcast = labels.count() <= LABEL_BROADCAST_MAX
@@ -140,6 +147,14 @@ def relations_stage(
         return _attach_label(df, l, k, o, broadcast_hint=lab_bcast)
 
     W = work_qids.select("qid").distinct()
+    # canonical membership build side: every "∈ W" semi-join shares this
+    # exact subtree so the broadcast hash relation is built once and
+    # ReusedExchange serves the ~8 other sites (per-site renames would
+    # force a fresh single-threaded build each time)
+    Wb = W.select(F.col("qid").alias("__wq")).localCheckpoint(eager=False)
+
+    def in_W(df: DataFrame, key: str) -> DataFrame:
+        return df.join(F.broadcast(Wb), F.col(key) == F.col("__wq"), "left_semi")
 
     def pids_of(bases: list[str]) -> DataFrame:
         return property_closure.filter(F.col("base_pid").isin(bases)).select("pid").distinct()
@@ -150,7 +165,7 @@ def relations_stage(
             statements.join(F.broadcast(pids_of(bases)), "pid")
             .filter(F.col("object_is_entity"))
             .select(F.col("subject_qid").alias("work"), F.col("object_value").alias("tgt"))
-            .join(F.broadcast(W.withColumnRenamed("qid", "work")), "work", "left_semi")
+            .transform(lambda d: in_W(d, "work"))
             .distinct()
         )
 
@@ -194,7 +209,7 @@ def relations_stage(
         .join(F.broadcast(pid_fam), "pid")
         .select("family", F.col("subject_qid").alias("work"),
                 F.col("object_value").alias("tgt"))
-        .join(F.broadcast(W.withColumnRenamed("qid", "work")), "work", "left_semi")
+        .transform(lambda d: in_W(d, "work"))
     )
     fw_typed = fw_all0.filter(F.col("family").isin(list(typed_req))).join(
         typed_pairs, ["tgt", "family"], "left_semi")
@@ -220,25 +235,21 @@ def relations_stage(
     workref = (
         edges(["P921"])
         .filter(F.col("tgt").startswith("Q"))
-        .join(F.broadcast(W.withColumnRenamed("qid", "tgt")), "tgt", "left_semi")
+        .transform(lambda d: in_W(d, "tgt"))
         .localCheckpoint(eager=False)
     )
 
     # int31 direct links (relations.py:299-354): forward P4969; reversed
     # P144/P5059/P941 (SURVEY §4.4.3)
-    int31_fwd = edges(["P4969"]).join(
-        F.broadcast(W.withColumnRenamed("qid", "tgt")), "tgt", "left_semi"
-    ).select(F.col("work").alias("wa"), F.col("tgt").alias("wb"))
-    int31_bwd = edges(["P144", "P5059", "P941"]).join(
-        F.broadcast(W.withColumnRenamed("qid", "tgt")), "tgt", "left_semi"
-    ).select(F.col("tgt").alias("wa"), F.col("work").alias("wb"))
+    int31_fwd = in_W(edges(["P4969"]), "tgt").select(F.col("work").alias("wa"), F.col("tgt").alias("wb"))
+    int31_bwd = in_W(edges(["P144", "P5059", "P941"]), "tgt").select(F.col("tgt").alias("wa"), F.col("work").alias("wb"))
     int31_pairs = int31_fwd.unionByName(int31_bwd).filter(F.col("wa") != F.col("wb"))
 
     # citations (relations.py:765-818): (tgt=subject) cites (src=object);
     # both-directions dedup keeps lexicographically smaller (src, tgt)
     cite_directed = (
         edges(["P2860", "P6166"])
-        .join(F.broadcast(W.withColumnRenamed("qid", "tgt")), "tgt", "left_semi")
+        .transform(lambda d: in_W(d, "tgt"))
         .select(F.col("tgt").alias("src"), F.col("work").alias("tgt"))
         .filter(F.col("src") != F.col("tgt"))
     )

@@ -60,15 +60,6 @@ def _slice(statements: DataFrame, pid: str, out: str,
                     F.col("object_value").alias(out))
 
 
-def _svc_label(labels: DataFrame, key: str, out: str) -> DataFrame:
-    """WDQS label service: en → de → QID (applied at join site)."""
-    en = labels.filter(F.col("lang") == "en").select(
-        F.col("qid").alias(key), F.col("label").alias(out + "_en"))
-    de = labels.filter(F.col("lang") == "de").select(
-        F.col("qid").alias(key), F.col("label").alias(out + "_de"))
-    return en.join(de, key, "full_outer")
-
-
 def wide_works(
     work_qids: DataFrame,
     statements: DataFrame,
@@ -119,23 +110,37 @@ def wide_works(
     )
     w = w.join(creation, "qid", "left")
 
-    # label-service joins (broadcast dimensions)
+    # label-service joins: ONE canonical (qid, en, de) build side shared by
+    # all six label joins — identical build-side subtrees let Spark reuse a
+    # single broadcast exchange (ReusedExchange) instead of building the
+    # label hash relation six times (the build is single-threaded and was
+    # the works stage's dominant fixed cost at large label dimensions).
+    svc_all = (
+        labels.groupBy("qid").pivot("lang", ["en", "de"]).agg(F.min("label"))
+        .select(F.col("qid").alias("_lq"), F.col("en").alias("_len"),
+                F.col("de").alias("_lde"))
+        .localCheckpoint(eager=False)
+    )
     for key, out in [("qid", "work_label"), ("genre_qid", "genre_label"),
                      ("author_qid", "author_label"), ("pub_place_qid", "pub_place_label"),
                      ("publisher_qid", "publisher_label"), ("editor_qid", "editor_label")]:
-        svc = _svc_label(labels, key, out)
-        w = w.join(_maybe_bcast(svc), key, "left").withColumn(
-            out,
-            F.coalesce(F.col(out + "_en"), F.col(out + "_de"),
-                       F.col(key) if key != "qid" else F.col("qid")),
-        ).drop(out + "_en", out + "_de")
+        w = w.join(_maybe_bcast(svc_all), F.col(key) == F.col("_lq"), "left") \
+            .withColumn(
+                out,
+                F.coalesce(F.col("_len"), F.col("_lde"),
+                           F.col(key) if key != "qid" else F.col("qid")),
+            ).drop("_lq", "_len", "_lde")
 
     # fetch_label for publishedIn/partOf parents: de label required,
-    # else "Untitled"@en (works.py:285-305)
-    de_labels = labels.filter(F.col("lang") == "de")
+    # else "Untitled"@en (works.py:285-305) — same shared-build-side shape
+    dl_all = (
+        labels.filter(F.col("lang") == "de")
+        .select(F.col("qid").alias("_dq"), F.col("label").alias("_dl"))
+        .localCheckpoint(eager=False)
+    )
     for key, out in [("published_in", "published_in_de"), ("part_of", "part_of_de")]:
-        dl = de_labels.select(F.col("qid").alias(key), F.col("label").alias(out))
-        w = w.join(_maybe_bcast(dl), key, "left")
+        w = w.join(_maybe_bcast(dl_all), F.col(key) == F.col("_dq"), "left") \
+            .withColumnRenamed("_dl", out).drop("_dq")
 
     # label_for (works.py:308-316): title_de→de, title_en→en, workLabel→'de',
     # else Untitled→en. work_label is never null here (QID fallback), matching
