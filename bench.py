@@ -57,7 +57,8 @@ def main() -> None:
         "j8_pair_join", "j10_multi_hop", "a3_having_count_distinct",
         "a6_window_dedup", "u3_undirected_pairs", "closure_transitive",
         "cc_components", "dedup_minhash_lsh", "dedup_token_jaccard",
-        "dedup_simhash", "ann_topk_cosine", "ann_lsh_topk",
+        "dedup_simhash", "dedup_first_seen", "dedup_embedding_cosine",
+        "ann_topk_cosine", "ann_lsh_topk",
         "text_quality", "stream_window_counts", "shacl_violations",
     ]
     for name in headline:

@@ -15,8 +15,12 @@ memory bandwidth, so it UNDER-reports cluster scaling; the 4→16 pair
 leaves headroom and is the better proxy for adding executors. Both are
 reported.
 
-Usage: python tools/scaling_bench.py [sf_dir] [runs] [world_scale] [levels]
+Usage: python tools/scaling_bench.py [sf_dir] [runs] [world_scale] [levels] [shuffle]
        levels: comma-separated core counts, default "4,16,8,32"
+       shuffle: fixed shuffle-partition count for ALL levels (default:
+       partitions = cores per level). A constant partition count is the
+       cluster-faithful protocol — adding executors does not re-plan the
+       query — and AQE coalesces the excess at low parallelism.
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ from wikidata_to_cidoc_crm_spark.pipeline import run_pipeline
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; runs = int(sys.argv[3])
 world_scale = int(sys.argv[4])
-spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores)
+shuffle = int(sys.argv[5]) if len(sys.argv) > 5 and int(sys.argv[5]) else cores
+spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=shuffle)
 results = []
 digest = None
 for i in range(runs + 1):  # first run is warm-up (discarded)
@@ -76,10 +81,11 @@ print(json.dumps({{
 """
 
 
-def run_level(cores: int, sf_dir: str, runs: int, world_scale: int) -> dict:
+def run_level(cores: int, sf_dir: str, runs: int, world_scale: int,
+              shuffle: int = 0) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), sf_dir,
-         str(runs), str(world_scale)],
+         str(runs), str(world_scale), str(shuffle)],
         capture_output=True, text=True, timeout=5400,
     )
     line = out.stdout.strip().splitlines()[-1]
@@ -92,9 +98,10 @@ def main() -> None:
     world_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 400
     level_list = tuple(int(x) for x in sys.argv[4].split(",")) \
         if len(sys.argv) > 4 else (4, 16, 8, 32)
+    shuffle = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     levels = {}
     for cores in level_list:
-        levels[cores] = run_level(cores, sf_dir, runs, world_scale)
+        levels[cores] = run_level(cores, sf_dir, runs, world_scale, shuffle)
         print(f"local[{cores}]: "
               f"total={levels[cores]['total_sec']} "
               f"triples={levels[cores]['triples']} hash={levels[cores]['hash'][:24]}…")
