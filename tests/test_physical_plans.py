@@ -115,12 +115,26 @@ def test_label_broadcast_gate_falls_back_to_shuffle_join(spark, dims, world, mon
         == sorted(map(tuple, shuffled.select(*cols).collect()))
 
 
-def test_jaccard_prefix_filter_has_no_stopword_hub_join(spark):
-    """The prefix-filtered jaccard plan joins on prefix tokens only —
-    verified indirectly: the candidate join is preceded by the DF-rank
-    window (row_number over df asc), which the naive all-token join lacks."""
+def test_jaccard_avoids_stopword_hub_join_on_both_paths(spark):
+    """jaccard_pairs must never join on raw hub tokens. Degenerate vocab
+    (the ≤63-token testdata) takes the bitmask path: popcount comparison
+    of distinct masks, no token-keyed join at all. Large (Zipf) vocab
+    takes the prefix path, whose candidate join is preceded by the DF-rank
+    window (row_number over df asc) that drops stopwords from prefixes."""
+    from pyspark.sql import functions as F
+
     from wikidata_to_cidoc_crm_spark.operators.dedup import jaccard_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(jaccard_pairs(docs, threshold=0.5), "simple")
+    assert "bit_count" in plan and "row_number" not in plan
+
+    wide_vocab = spark.range(80).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"w{i}_"), (F.col("id") * (i + 3)) % 97)
+            for i in range(12)
+        ]).alias("text"),
+    )
+    plan = _plan(jaccard_pairs(wide_vocab, threshold=0.5), "simple")
     assert "row_number" in plan
