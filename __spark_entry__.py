@@ -1068,4 +1068,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
         """,
+        # twin of operators/multimodal: the media table is re-derived from
+        # documents (md5-conv doc selection, fixtures.interleaved_corpus),
+        # the stub payload is the UTF-8 bytes of sha2-hex(media_ref) so
+        # sha256(sha256(media_ref)) reproduces the feature bytes, and the
+        # float32 cast of each feature (array<float>) is mirrored with
+        # CAST(... AS FLOAT) before the double-precision norm
+        "kg_media_features": """
+            WITH media AS (
+              SELECT DISTINCT 'media://' || CAST(doc_id AS VARCHAR) || '/art' AS media_ref
+              FROM documents
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 3 = 0
+            ), f AS (
+              SELECT media_ref,
+                ['image','audio','video'][
+                  CAST(CAST('0x' || substr(md5(media_ref), 1, 6) AS BIGINT) % 3 AS INT) + 1
+                ] AS kind,
+                sha256(sha256(media_ref)) AS h2
+              FROM media
+            )
+            SELECT media_ref, kind, CAST(64 AS INTEGER) AS n_bytes, TRUE AS ok,
+              round(sqrt(list_reduce(
+                list_transform(
+                  list_transform(range(0, 16),
+                    i -> CAST((CAST('0x' || substr(h2, CAST(2*i+1 AS INT), 2) AS BIGINT)
+                               / 255.0) * 2 - 1 AS FLOAT)),
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                (x, y) -> x + y)), 4) AS feature_norm
+            FROM f
+        """,
     }

@@ -138,3 +138,60 @@ def test_jaccard_avoids_stopword_hub_join_on_both_paths(spark):
     )
     plan = _plan(jaccard_pairs(wide_vocab, threshold=0.5), "simple")
     assert "row_number" in plan
+
+
+def test_canonicalize_broadcast_gate_falls_back_to_shuffle_join(
+        spark, monkeypatch):
+    """The canonical map grows with the corpus (duplicate entities), not a
+    dimension — above CANONICAL_BROADCAST_MAX the rewrite must shuffle-join
+    instead of force-broadcasting a data-proportional map, with identical
+    output (mirrors the label-broadcast gate test)."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_cidoc_crm_spark.model import ECRM, RDF_TYPE, RDFS_LABEL, TRIPLE_SCHEMA
+    from wikidata_to_cidoc_crm_spark.plans import canonicalize as canmod
+
+    P = ECRM + "E21_Person"
+    rows = [
+        ("p/Q1", RDF_TYPE, P, True, None, None),
+        ("p/Q1", RDFS_LABEL, "Karoline von Guenderrode", False, "en", None),
+        ("p/Q2", RDF_TYPE, P, True, None, None),
+        ("p/Q2", RDFS_LABEL, "Karoline von Guenderrode", False, "en", None),
+        ("p/Q3", RDF_TYPE, P, True, None, None),
+        ("p/Q3", RDFS_LABEL, "Bettina von Arnim", False, "en", None),
+        ("p/Q3", "http://example.org/knows", "p/Q2", True, None, None),
+    ]
+    g = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = canmod.canonicalize_stage(spark, g, [P])
+        n_bcast = _plan(bcast, "simple").count("BroadcastHashJoin")
+        monkeypatch.setattr(canmod, "CANONICAL_BROADCAST_MAX", 0)
+        shuffled = canmod.canonicalize_stage(spark, g, [P])
+        n_shuffled = _plan(shuffled, "simple").count("BroadcastHashJoin")
+        assert n_shuffled < n_bcast and n_bcast >= 2
+        assert sorted(map(tuple, bcast.collect())) \
+            == sorted(map(tuple, shuffled.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_jaccard_mask_count_gate_falls_back_to_prefix_path(
+        spark, monkeypatch):
+    """Distinct masks ≈ #docs at vocab 40-63 — when their count exceeds
+    MASK_PAIRS_MAX the (quadratic) all-pairs popcount must give way to the
+    prefix-filter join; both paths are exact, so results are identical."""
+    from wikidata_to_cidoc_crm_spark.operators import dedup as dmod
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fast = dmod.jaccard_pairs(docs, threshold=0.5)
+    assert "bit_count" in _plan(fast, "simple")
+
+    monkeypatch.setattr(dmod, "MASK_PAIRS_MAX", 0)
+    slow = dmod.jaccard_pairs(docs, threshold=0.5)
+    plan = _plan(slow, "simple")
+    assert "row_number" in plan and "bit_count" not in plan
+    assert sorted(map(tuple, fast.collect())) \
+        == sorted(map(tuple, slow.collect()))

@@ -68,3 +68,41 @@ def test_stateful_streaming_dedup_matches_batch_twin(spark, tmp_path):
     got = {(r["fingerprint"], r["doc_id"])
            for r in spark.sql("select * from first_seen").collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stateful_dedup_min_across_arrow_chunks(spark, tmp_path):
+    """A fingerprint whose duplicates span multiple Arrow chunks within one
+    micro-batch must still emit the GLOBAL min doc_id (not the first
+    chunk's local min) and count every duplicate seen at emission time."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_cidoc_crm_spark.streaming.dedup_stream import (
+        batch_first_seen, streaming_first_seen)
+
+    # 30 duplicates of one text, doc_ids DESCENDING in file order so the
+    # first Arrow chunk's local min (d25) differs from the global min (d00)
+    docs = spark.createDataFrame(
+        [(f"d{29 - i:02d}", "same text every time") for i in range(30)],
+        "doc_id string, text string")
+    src_dir = str(tmp_path / "dups_dir")
+    docs.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema).parquet(src_dir)
+        q = (streaming_first_seen(stream)
+             .writeStream.format("memory").queryName("chunked_first_seen")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck3"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = [(r["doc_id"], r["n_dups_seen"]) for r in
+           spark.sql("select * from chunked_first_seen").collect()]
+    assert got == [("d00", 29)]
+    expected = [(r["doc_id"], r["n_dups_seen"]) for r in
+                batch_first_seen(spark.read.parquet(src_dir)).collect()]
+    assert got == expected

@@ -443,10 +443,18 @@ def interleaved_corpus(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     # mention selectors: explode a small index range, pick entity by hash
+    # selection hashes use conv(substr(md5(...))) rather than xxhash64:
+    # bit-for-bit replicable in ANSI engines (DuckDB:
+    # CAST('0x'||substr(md5(x),1,6) AS BIGINT)), which lets the driver's
+    # oracle twin re-derive the corpus spans in pure SQL
     m = docs.select(
         "doc_id", "text",
         F.explode(F.sequence(F.lit(0), F.lit(mentions_per_doc - 1))).alias("i"),
-    ).withColumn("ent_idx", F.abs(F.xxhash64("doc_id", "i")) % F.lit(n_ent))
+    ).withColumn(
+        "ent_idx",
+        F.conv(F.substring(F.md5(F.concat_ws("_", "doc_id",
+                                             F.col("i").cast("string"))),
+                           1, 6), 16, 10).cast("long") % F.lit(n_ent))
     m = m.join(F.broadcast(ent_idx), "ent_idx")
     mention_spans = m.select(
         "doc_id",
@@ -471,7 +479,9 @@ def interleaved_corpus(
         F.lit(None).cast("string").alias("truth_qid"),
         F.lit(None).cast("int").alias("truth_offset"),
     )
-    media_spans = docs.filter(F.abs(F.xxhash64("doc_id")) % media_every == 0).select(
+    media_spans = docs.filter(
+        F.conv(F.substring(F.md5("doc_id"), 1, 6), 16, 10).cast("long")
+        % media_every == 0).select(
         "doc_id",
         F.struct(
             F.lit("media").alias("kind"),

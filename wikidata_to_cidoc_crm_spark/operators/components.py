@@ -67,11 +67,15 @@ def connected_components(
             labels.join(nbr.withColumnRenamed("a", "node"), "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("_old"),
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
             )
         )
         # pointer doubling: comp := comp-of-comp, so the label horizon
-        # doubles each round (O(log diameter) instead of O(diameter))
+        # doubles each round (O(log diameter) instead of O(diameter)).
+        # The changed flag is computed inside the same pass (comp vs the
+        # carried-through old label), so convergence detection is a cheap
+        # scan of the checkpoint blocks — not a second join job per round.
         parent = new_labels.select(
             F.col("node").alias("_p"), F.col("comp").alias("_pcomp"))
         new_labels = (
@@ -79,16 +83,12 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("_pcomp", "comp")).alias("comp"),
+                (F.least(F.col("comp"), F.coalesce("_pcomp", "comp"))
+                 != F.col("_old")).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break

@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# above this many DISTINCT token-set bitmasks the all-pairs popcount
+# compare is quadratic and its broadcast fact-sized — take the prefix
+# filter instead (both paths are exact; this is purely a cost gate)
+MASK_PAIRS_MAX = 100_000
+
 
 def normalize_text(col) -> F.Column:
     """lower + trim + collapse whitespace (shared by fingerprint/dedup)."""
@@ -125,11 +130,18 @@ def jaccard_pairs(
                  F.count("*").alias("sz"))
             .localCheckpoint(eager=False)
         )
-        # compare DISTINCT masks all-pairs (≤ min(#docs, 2^vocab) of them;
-        # a broadcast nested-loop of integer popcounts), then expand the
-        # surviving mask pairs back to doc pairs and add the identical-mask
-        # groups (jaccard exactly 1). No token join touches the hub keys.
+        # compare DISTINCT masks all-pairs (a broadcast nested-loop of
+        # integer popcounts), then expand the surviving mask pairs back to
+        # doc pairs and add the identical-mask groups (jaccard exactly 1).
+        # No token join touches the hub keys. Distinct masks are bounded by
+        # min(#docs, 2^vocab) — at vocab 40-63 that is effectively #docs,
+        # so the path is additionally gated on the ACTUAL distinct-mask
+        # count: above MASK_PAIRS_MAX the broadcast would be fact-sized and
+        # the compare quadratic, so fall through to the (equally exact)
+        # prefix-filter join instead.
         dm = masks.select("mask", "sz").distinct()
+        if dm.count() > MASK_PAIRS_MAX:
+            return _verify_candidates(cands, toks, sizes, threshold)
         da = dm.select(F.col("mask").alias("ma"), F.col("sz").alias("sza"))
         db = dm.select(F.col("mask").alias("mb"), F.col("sz").alias("szb"))
         mask_pairs = (
@@ -155,6 +167,12 @@ def jaccard_pairs(
             .select("a", "b", F.round(F.lit(1.0), 6).alias("jaccard"))
         )
         return cross.unionByName(same)
+    return _verify_candidates(cands, toks, sizes, threshold)
+
+
+def _verify_candidates(cands: DataFrame, toks: DataFrame, sizes: DataFrame,
+                       threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of (a, b) candidates via the token join."""
     ta = toks.select(F.col("id").alias("a"), "token")
     tb = toks.select(F.col("id").alias("b"), "token")
     common = (

@@ -48,9 +48,12 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
         .select(F.col("s.media_ref").alias("media_ref"))
         .distinct()
     )
+    # md5-conv selection (not xxhash64) so the DuckDB oracle twin can
+    # re-derive the kind column bit-for-bit
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("media_ref"), F.lit(3)) + 1).cast("int"),
+        (F.conv(F.substring(F.md5("media_ref"), 1, 6), 16, 10).cast("long")
+         % 3 + 1).cast("int"),
     )
     return refs.select(
         "media_ref",

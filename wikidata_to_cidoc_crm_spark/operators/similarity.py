@@ -16,6 +16,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# the top-k operators broadcast the query side by contract ("queries are
+# small"); above this many rows that contract is being misused and the
+# broadcast would OOM executors — fail loudly instead (same policy as
+# linking.MAX_SURFACES)
+QUERY_BROADCAST_MAX = 1_000_000
+
+
+def _check_query_side(queries: DataFrame, op: str) -> None:
+    n = queries.limit(QUERY_BROADCAST_MAX + 1).count()
+    if n > QUERY_BROADCAST_MAX:
+        raise ValueError(
+            f"{op}: query side exceeds QUERY_BROADCAST_MAX="
+            f"{QUERY_BROADCAST_MAX} rows and cannot be broadcast — "
+            "block/partition the queries (e.g. run per-shard) instead")
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -45,6 +61,7 @@ def brute_force_topk(
     ``queries`` is broadcast (small side); candidates ranked by
     (score desc, neighbor_id) for deterministic ties.
     """
+    _check_query_side(queries, "brute_force_topk")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
@@ -134,6 +151,7 @@ def lsh_topk(
     probes down as N grows. Recall@k vs ``brute_force_topk`` is pytest-gated
     on the driver testdata (tests/test_operators.py).
     """
+    _check_query_side(queries, "lsh_topk")
     masks = [0]
     if probe_hamming >= 1:
         masks += [1 << i for i in range(planes)]

@@ -68,23 +68,47 @@ class StageRunner:
         metric["wall_sec"] = round(metric["plan_sec"] + metric["exec_sec"], 2)
 
     def wait(self) -> None:
-        """Block until every background stage materialization finished."""
-        for fut in self._pending:
+        """Block until every background stage materialization finished.
+
+        MANDATORY before treating a pipelined run as successful: executor
+        failures in background ``_force`` calls surface only here (or via
+        the next :meth:`run`). Terminal for pipelining — the pool is shut
+        down; later stages on this runner execute synchronously.
+        """
+        try:
+            for fut in self._pending:
+                fut.result()
+        finally:
+            self._pending.clear()
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+                self._pool = None
+
+    def _raise_pending_failures(self) -> None:
+        """Surface exceptions from already-finished background stages —
+        without this, a consumer that never acts on the final stage would
+        silently lose executor failures."""
+        for fut in [f for f in self._pending if f.done()]:
+            self._pending.remove(fut)
             fut.result()
-        self._pending.clear()
 
     def run(self, name: str, fingerprint: str, build) -> DataFrame:
         t0 = time.time()
+        self._raise_pending_failures()
         if self.dir:
             path = os.path.join(self.dir, name)
             meta_path = os.path.join(self.dir, f"{name}._metrics.json")
+            from .sources.sinks import read_triples_table, write_triples
+
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
                     meta = json.load(f)
                 if meta.get("fingerprint") == fingerprint:
-                    df = self.spark.read.parquet(path)
-                    if "subj_bucket" in df.columns:
-                        df = df.drop("subj_bucket")
+                    # resume from the recorded target — an Iceberg table id
+                    # when a catalog was configured, the parquet path
+                    # otherwise (reading `path` unconditionally would fail
+                    # on Iceberg runs: no parquet was ever written there)
+                    df = read_triples_table(self.spark, meta.get("target", path))
                     self.metrics.append({**meta, "reused": True})
                     return df
             df = build()
@@ -92,13 +116,12 @@ class StageRunner:
             # (north rule: repartition by subject-hash). write_triples uses
             # Iceberg's bucket(64, subj) transform when a catalog is
             # configured; parquet with an explicit subj_bucket otherwise.
-            from .sources.sinks import read_triples_table, write_triples
-
             target = write_triples(df, name, path)
             out = read_triples_table(self.spark, target)
             meta = {
                 "stage": name,
                 "fingerprint": fingerprint,
+                "target": target,
                 "row_count": out.count(),
                 "wall_sec": round(time.time() - t0, 2),
                 "reused": False,
@@ -160,6 +183,12 @@ def run_pipeline(
     for name in ("wd_statements", "wd_labels", "wd_subclass_closure",
                  "wd_property_closure", "wd_entities"):
         dims[name].cache()
+    # size the label dimension ONCE per run and hand the broadcast decision
+    # to all three mapping stages — three per-stage recounts of the same
+    # cached dimension would serialize with the parallel plan construction
+    from .plans.relations import LABEL_BROADCAST_MAX
+
+    broadcast_labels = dims["wd_labels"].count() <= LABEL_BROADCAST_MAX
 
     corpus = runner.run(
         "corpus", fp,
@@ -199,17 +228,19 @@ def run_pipeline(
         f_authors = plan_pool.submit(
             runner.run, "authors_triples", fp,
             lambda: authors_stage(spark, persons, dims["wd_statements"],
-                                  dims["wd_labels"], dedupe=True))
+                                  dims["wd_labels"], dedupe=True,
+                                  broadcast_labels=broadcast_labels))
         f_works = plan_pool.submit(
             runner.run, "works_triples", fp,
             lambda: works_stage(spark, works, dims["wd_statements"],
-                                dims["wd_labels"], dedupe=True))
+                                dims["wd_labels"], dedupe=True,
+                                broadcast_labels=broadcast_labels))
         f_relations = plan_pool.submit(
             runner.run, "relations_triples", fp,
             lambda: relations_stage(
                 spark, works, dims["wd_statements"], dims["wd_labels"],
                 dims["wd_subclass_closure"], dims["wd_property_closure"],
-                dedupe=True))
+                dedupe=True, broadcast_labels=broadcast_labels))
         authors_t = f_authors.result()
         works_t = f_works.result()
         relations_t = f_relations.result()

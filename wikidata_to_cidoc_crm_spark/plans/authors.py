@@ -56,6 +56,7 @@ def wide_authors(
     person_qids: DataFrame,
     statements: DataFrame,
     labels: DataFrame,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Build the wide author DataFrame (one row per person QID).
 
@@ -89,8 +90,9 @@ def wide_authors(
     # fallback for fact-sized label tables — same rule as relations_stage)
     from .relations import LABEL_BROADCAST_MAX
 
-    _maybe_bcast = (F.broadcast if labels.count() <= LABEL_BROADCAST_MAX
-                    else (lambda df: df))
+    if broadcast_labels is None:
+        broadcast_labels = labels.count() <= LABEL_BROADCAST_MAX
+    _maybe_bcast = F.broadcast if broadcast_labels else (lambda df: df)
 
     def attach_label(df: DataFrame, key: str, out: str) -> DataFrame:
         return df.join(
@@ -231,8 +233,9 @@ def authors_stage(
     labels: DataFrame,
     include_header: bool = True,
     dedupe: bool = True,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
-    wide = wide_authors(person_qids, statements, labels)
+    wide = wide_authors(person_qids, statements, labels, broadcast_labels)
     triples = emit_triples(wide, author_rules())
     if include_header:
         triples = triples.unionByName(authors_header(spark))

@@ -22,6 +22,10 @@ from ..model import OWL_SAMEAS, RDF_TYPE, RDFS_LABEL, TRIPLE_KEY
 from ..operators.components import connected_components
 from ..operators.dedup import minhash_lsh_dedup
 
+# above this many (uri, canonical) rows the rewrite map no longer
+# broadcasts safely (same rationale as relations.LABEL_BROADCAST_MAX)
+CANONICAL_BROADCAST_MAX = 20_000_000
+
 
 def entity_labels(triples: DataFrame, classes: list[str]) -> DataFrame:
     """(uri, label) for instances of the given classes."""
@@ -75,17 +79,24 @@ def canonicalize_stage(
     classes = classes or [ECRM + "E21_Person", ECRM + "E53_Place",
                           LRMOO + "F2_Expression"]
     cmap = canonical_map(triples, classes, threshold).localCheckpoint(eager=True)
-    if cmap.isEmpty():
+    n_cmap = cmap.count()
+    if n_cmap == 0:
         return triples
     # ONE canonical (uri, canonical) build side for both rewrite joins —
     # identical subtrees let Spark build the broadcast hash relation once
     # and serve the obj-side join via ReusedExchange (the map scales with
-    # data, so a second single-threaded build is real serial cost)
+    # data, so a second single-threaded build is real serial cost).
+    # The canonical map grows with the number of duplicate entities — i.e.
+    # with the corpus, not with a dimension — so the broadcast is gated on
+    # its size exactly like LABEL_BROADCAST_MAX: above the cap the rewrite
+    # falls back to shuffle hash joins (keyed on subj/obj, uniform).
     cm = cmap.select(F.col("uri").alias("__cu"), F.col("canonical").alias("__cc"))
+    if n_cmap <= CANONICAL_BROADCAST_MAX:
+        cm = F.broadcast(cm)
     out = (
-        triples.join(F.broadcast(cm), F.col("subj") == F.col("__cu"), "left")
+        triples.join(cm, F.col("subj") == F.col("__cu"), "left")
         .withColumn("_cs", F.col("__cc")).drop("__cu", "__cc")
-        .join(F.broadcast(cm), F.col("obj") == F.col("__cu"), "left")
+        .join(cm, F.col("obj") == F.col("__cu"), "left")
         .withColumn("_co", F.col("__cc")).drop("__cu", "__cc")
         .select(
             F.coalesce("_cs", "subj").alias("subj"),

@@ -133,6 +133,7 @@ def relations_stage(
     property_closure: DataFrame,
     include_header: bool = True,
     dedupe: bool = True,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     # canonical build side for every label attach (see _attach_label) —
     # the checkpoint pins the subtree so exchange reuse is structural
@@ -140,8 +141,10 @@ def relations_stage(
         F.col("qid").alias("__lk"), F.col("_lbl").alias("__lv")
     ).localCheckpoint(eager=False)
     # gate the forced label broadcast on dimension size (shuffle-join
-    # fallback for fact-sized label tables)
-    lab_bcast = labels.count() <= LABEL_BROADCAST_MAX
+    # fallback for fact-sized label tables); callers that already know the
+    # dimension size pass the flag to avoid a per-stage recount
+    lab_bcast = (labels.count() <= LABEL_BROADCAST_MAX
+                 if broadcast_labels is None else broadcast_labels)
 
     def _attach(df, l, k, o):
         return _attach_label(df, l, k, o, broadcast_hint=lab_bcast)

@@ -397,8 +397,9 @@ def works_stage(
     labels: DataFrame,
     include_header: bool = True,
     dedupe: bool = True,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
-    wide = wide_works(work_qids, statements, labels)
+    wide = wide_works(work_qids, statements, labels, broadcast_labels)
     triples = emit_triples(wide, work_rules())
     if include_header:
         triples = triples.unionByName(works_header(spark))

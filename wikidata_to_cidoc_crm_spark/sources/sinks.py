@@ -49,6 +49,9 @@ def write_triples(df: DataFrame, name: str, path: str,
     catalog = catalog or iceberg_catalog(spark)
     if catalog:
         table = f"{catalog}.kg.{name}"
+        # first write on a fresh catalog: the namespace must exist before
+        # writeTo (Iceberg does not auto-create it)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.kg")
         (df.writeTo(table)
            .using("iceberg")
            .partitionedBy(F.bucket(TRIPLE_BUCKETS, F.col("subj")))

@@ -37,21 +37,31 @@ def _emit_first(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     (fingerprint,) = key
-    seen = state.get[0] if state.exists else 0
-    out = []
+    prior = state.get[0] if state.exists else 0
+    # a fingerprint's rows may span multiple Arrow chunks within one
+    # micro-batch (> spark.sql.execution.arrow.maxRecordsPerBatch
+    # duplicates), so the winning doc_id must be the min across ALL chunks
+    # — emitting from the first non-empty chunk would pick that chunk's
+    # local min and diverge from the batch_first_seen twin
+    batch_rows = 0
+    first = None
     for pdf in pdf_iter:
-        if seen == 0 and len(pdf) > 0:
-            first = pdf.sort_values(["doc_id"]).iloc[0]
-            out.append(pd.DataFrame({
-                "fingerprint": [fingerprint],
-                "doc_id": [str(first["doc_id"])],
-                "text": [first["text"]],
-                "n_dups_seen": [0],
-            }))
-        seen += len(pdf)
-    state.update((seen,))
-    if out:
-        yield from out
+        batch_rows += len(pdf)
+        if prior == 0 and len(pdf) > 0:
+            cand = pdf.sort_values(["doc_id"]).iloc[0]
+            if first is None or str(cand["doc_id"]) < str(first["doc_id"]):
+                first = cand
+    state.update((prior + batch_rows,))
+    if prior == 0 and first is not None:
+        # n_dups_seen = duplicates observed at emission time (rows beyond
+        # the winner in the emitting micro-batch; in batch mode the whole
+        # dataset is one batch, so the twin's count(*)-1 is identical)
+        yield pd.DataFrame({
+            "fingerprint": [fingerprint],
+            "doc_id": [str(first["doc_id"])],
+            "text": [first["text"]],
+            "n_dups_seen": [batch_rows - 1],
+        })
 
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -82,9 +92,11 @@ def batch_first_seen(docs: DataFrame) -> DataFrame:
     keyed = with_fingerprint(docs).select(
         "fingerprint", F.col("doc_id").cast("string").alias("doc_id"), "text")
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    wc = Window.partitionBy("fingerprint")
     return (
         keyed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
         .filter(F.col("_rn") == 1)
         .select("fingerprint", "doc_id", "text",
-                F.lit(0).alias("n_dups_seen"))
+                (F.col("_n") - 1).cast("int").alias("n_dups_seen"))
     )
