@@ -156,7 +156,18 @@ def detect_mentions(
     mentions = text_spans.mapInPandas(match_batches, schema=MENTION_SCHEMA)
     if min_score > 0:
         mentions = mentions.filter(F.col("score") >= min_score)
-    return mentions.dropDuplicates(["doc_id", "span_offset", "qid"])
+    # deterministic dedup per (doc, span, qid): keep the best-scoring match,
+    # ties broken on surface — dropDuplicates would keep an arbitrary
+    # surviving row, which is both nondeterministic across runs and
+    # impossible to twin in an oracle
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "span_offset", "qid").orderBy(
+        F.col("score").desc(), F.col("surface"))
+    return (
+        mentions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
 
 
 def linked_qids(mentions: DataFrame, entities: DataFrame, kind: str) -> DataFrame:
