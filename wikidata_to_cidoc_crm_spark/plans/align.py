@@ -29,8 +29,8 @@ Positions on reference bugs (SURVEY §4.4):
 
 Scale notes: the chain joins are equi-joins on subject/object URIs over a
 triple table partitioned by subject hash; each hop co-partitions on the
-join key. The presence-flag collects move only distinct type/pred URIs
-(bounded by ontology size, not data size).
+join key. Presence flags are a dimension-sized distinct PLAN (no driver
+collect): conditional blocks semi-join a broadcast one-row gate.
 """
 
 from __future__ import annotations
@@ -47,7 +47,6 @@ from ..model import (
     RDFS_LABEL,
     TRIPLE_SCHEMA,
     WD,
-    const_triples,
     dedupe_triples,
 )
 from .align_spec import (
@@ -97,25 +96,88 @@ def align_stage(
             .select(F.col("subj").alias("e")).distinct()
         )
 
-    # --- presence flags (A7): ONE pass over distinct (pred, type-obj) ---
-    flag_rows = (
+    # --- presence flags (A7), fully lazy ---
+    # The flags used to be collect()ed, which forced a full-graph distinct
+    # on the driver before align's plan could even finish building —
+    # serializing plan construction with upstream execution. Instead
+    # `present` is a dimension-sized (kind, val) plan checkpointed once,
+    # and every conditional block is gated with a broadcast LEFT SEMI join
+    # against a 1-row-iff-satisfied aggregate over it: identical gating
+    # semantics, zero driver actions at build time.
+    present = (
         t.select(
             "pred",
             F.when(F.col("pred") == RDF_TYPE, F.col("obj")).alias("cls"),
         )
         .distinct()
-        .collect()
+        .select(F.explode(F.array(
+            F.struct(F.lit("pred").alias("kind"), F.col("pred").alias("val")),
+            F.struct(F.lit("class").alias("kind"), F.col("cls").alias("val")),
+        )).alias("pr"))
+        .select("pr.kind", "pr.val")
+        .filter(F.col("val").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    preds_present = {r["pred"] for r in flag_rows}
-    types_present = {r["cls"] for r in flag_rows if r["cls"] is not None}
 
-    const: list[tuple] = []
-    for kind, val, triples in SKOS_BLOCKS:
-        if (kind == "class" and val in types_present) or (
-                kind == "pred" and val in preds_present):
-            const += triples
+    _gate_cache: dict[tuple, DataFrame] = {}
+
+    def _gate(*reqs: tuple[str, str]) -> DataFrame:
+        """One row iff every (kind, val) requirement appears in the graph
+        (`present` has distinct rows, so the match count equals len(reqs)
+        exactly when all requirements hold). Cached per requirement set so
+        every part of a block shares ONE gate subtree (ReusedExchange)."""
+        if reqs not in _gate_cache:
+            cond = F.lit(False)
+            for kind, val in reqs:
+                cond = cond | ((F.col("kind") == kind) & (F.col("val") == val))
+            _gate_cache[reqs] = (
+                present.filter(cond)
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") == len(reqs))
+                .select(F.lit(1).alias("__g")))
+        return _gate_cache[reqs]
+
+    def _gated(df: DataFrame, *reqs: tuple[str, str]) -> DataFrame:
+        return df.join(F.broadcast(_gate(*reqs)), F.lit(True), "left_semi")
+
+    # ALL conditional constant blocks resolve through ONE requirements
+    # semi-join (block → requirement rows vs `present`), not one gate per
+    # block — a single small union branch in the final plan
+    _const_blocks: list[tuple[tuple[tuple[str, str], ...], list]] = [
+        (((kind, val),), triples) for kind, val, triples in SKOS_BLOCKS]
 
     parts: list[DataFrame] = []
+
+    def _flush_consts() -> None:
+        from ..model import TRIPLE_SCHEMA as _TS
+
+        req_rows, need_rows, cand_rows = [], [], []
+        for b, (reqs, triples) in enumerate(_const_blocks):
+            need_rows.append((b, len(reqs)))
+            req_rows += [(b, k, v) for k, v in reqs]
+            for tr in triples:
+                st, pr, ob = tr[0], tr[1], tr[2]
+                cand_rows.append((
+                    b, st, pr, ob,
+                    tr[3] if len(tr) > 3 else True,
+                    tr[4] if len(tr) > 4 else None,
+                    tr[5] if len(tr) > 5 else None))
+        reqs_df = spark.createDataFrame(req_rows, "block int, kind string, val string")
+        need_df = spark.createDataFrame(need_rows, "block int, n_req int")
+        ok = (
+            reqs_df.join(present, ["kind", "val"], "left_semi")
+            .groupBy("block").agg(F.count("*").alias("__n_ok"))
+            .join(F.broadcast(need_df), "block")
+            .filter(F.col("__n_ok") == F.col("n_req"))
+            .select("block"))
+        cand = spark.createDataFrame(
+            [tuple(r) for r in cand_rows],
+            "block int, " + ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in _TS.fields))
+        parts.append(
+            cand.join(F.broadcast(ok), "block", "left_semi")
+            .drop("block").coalesce(1))
 
     # --- J17 enrichment ---
     if external_ids is not None:
@@ -144,36 +206,36 @@ def align_stage(
     f2 = typed(L + "F2_Expression")
 
     # has_manifestation (map_and_align.py:580-606)
-    if L + "F1_Work" in types_present and L + "F3_Manifestation" in types_present:
-        const += HAS_MANIFESTATION_DEF
-        hops = (
-            r3.join(f1, r3.s == f1.e, "left_semi")
-            .join(r4i.withColumnRenamed("s", "o1").withColumnRenamed("o", "mani"),
-                  F.col("o") == F.col("o1"))
-        )
-        parts.append(_mk(hops, "s", SP + "has_manifestation", "mani"))
+    _req = (("class", L + "F1_Work"), ("class", L + "F3_Manifestation"))
+    _const_blocks.append((_req, HAS_MANIFESTATION_DEF))
+    hops = (
+        r3.join(f1, r3.s == f1.e, "left_semi")
+        .join(r4i.withColumnRenamed("s", "o1").withColumnRenamed("o", "mani"),
+              F.col("o") == F.col("o1"))
+    )
+    parts.append(_gated(_mk(hops, "s", SP + "has_manifestation", "mani"), *_req))
 
     # has_portrayal (608-633)
-    if L + "F1_Work" in types_present and L + "F5_Item" in types_present:
-        const += HAS_PORTRAYAL_DEF
-        hops = (
-            r3.join(f1, r3.s == f1.e, "left_semi")
-            .join(r4i.withColumnRenamed("s", "o1").withColumnRenamed("o", "mani"),
-                  F.col("o") == F.col("o1"))
-            .join(r7i.withColumnRenamed("s", "m1").withColumnRenamed("o", "item"),
-                  F.col("mani") == F.col("m1"))
-        )
-        parts.append(_mk(hops, "s", SP + "has_portrayal", "item"))
+    _req = (("class", L + "F1_Work"), ("class", L + "F5_Item"))
+    _const_blocks.append((_req, HAS_PORTRAYAL_DEF))
+    hops = (
+        r3.join(f1, r3.s == f1.e, "left_semi")
+        .join(r4i.withColumnRenamed("s", "o1").withColumnRenamed("o", "mani"),
+              F.col("o") == F.col("o1"))
+        .join(r7i.withColumnRenamed("s", "m1").withColumnRenamed("o", "item"),
+              F.col("mani") == F.col("m1"))
+    )
+    parts.append(_gated(_mk(hops, "s", SP + "has_portrayal", "item"), *_req))
 
     # has_representation (635-658)
-    if L + "F2_Expression" in types_present and L + "F5_Item" in types_present:
-        const += HAS_REPRESENTATION_DEF
-        hops = (
-            r4i.join(f2, r4i.s == f2.e, "left_semi")
-            .join(r7i.withColumnRenamed("s", "m1").withColumnRenamed("o", "item"),
-                  F.col("o") == F.col("m1"))
-        )
-        parts.append(_mk(hops, "s", SP + "has_representation", "item"))
+    _req = (("class", L + "F2_Expression"), ("class", L + "F5_Item"))
+    _const_blocks.append((_req, HAS_REPRESENTATION_DEF))
+    hops = (
+        r4i.join(f2, r4i.s == f2.e, "left_semi")
+        .join(r7i.withColumnRenamed("s", "m1").withColumnRenamed("o", "item"),
+              F.col("o") == F.col("m1"))
+    )
+    parts.append(_gated(_mk(hops, "s", SP + "has_representation", "item"), *_req))
 
     # --- directions (660-694): per INT31 rel with exactly two text passages ---
     r24 = po(I + "R24_hasRelatedEntity")        # rel -> related entity
@@ -238,83 +300,91 @@ def align_stage(
     )
 
     # about (696-720)
-    if I + "INT_Topic" in types_present:
-        const += ABOUT_DEF
-        hops = (
-            r18.join(f2, r18.s == f2.e, "left_semi")
-            .join(r17.withColumnRenamed("s", "act").withColumnRenamed("o", "feat"),
-                  F.col("o") == F.col("act"))
-            .join(typed(I + "INT_Topic").withColumnRenamed("e", "feat2"),
-                  F.col("feat") == F.col("feat2"), "left_semi")
-        )
-        parts.append(_mk(hops, "s", SP + "about", "feat"))
+    _req = (("class", I + "INT_Topic"),)
+    _const_blocks.append((_req, ABOUT_DEF))
+    hops = (
+        r18.join(f2, r18.s == f2.e, "left_semi")
+        .join(r17.withColumnRenamed("s", "act").withColumnRenamed("o", "feat"),
+              F.col("o") == F.col("act"))
+        .join(typed(I + "INT_Topic").withColumnRenamed("e", "feat2"),
+              F.col("feat") == F.col("feat2"), "left_semi")
+    )
+    parts.append(_gated(_mk(hops, "s", SP + "about", "feat"), *_req))
 
     # expr_relation (723-776) + intended-semantics R12/R13 directions
-    if I + "INT31_IntertextualRelation" in types_present:
-        const += EXPR_RELATION_DEF
-        rel_exprs = (
-            r24.join(rels31, r24.s == rels31.e, "left_semi")
-            .join(r18.withColumnRenamed("s", "ex").withColumnRenamed("o", "act"),
-                  F.col("o") == F.col("act"))
-            .select(F.col("s").alias("rel"), F.col("ex").alias("expr"))
-            .distinct()
-        )
-        pairs = (
-            rel_exprs.withColumnRenamed("expr", "e1")
-            .join(rel_exprs.withColumnRenamed("expr", "e2"), "rel")
-            .filter(F.col("e1") != F.col("e2"))
-        )
-        parts.append(_mk(pairs, "e1", SP + "expr_relation", "e2"))
-        parts.append(_mk(pairs, "e2", SP + "expr_relation", "e1"))
-        parts.append(_mk(directions, "rel", I + "R13_hasReferringEntity", "younger_expr"))
-        parts.append(_mk(directions, "younger_expr", I + "R13i_isReferringEntity", "rel"))
-        parts.append(_mk(directions, "rel", I + "R12_hasReferredToEntity", "older_expr"))
-        parts.append(_mk(directions, "older_expr", I + "R12i_isReferredToEntity", "rel"))
+    _req = (("class", I + "INT31_IntertextualRelation"),)
+    _const_blocks.append((_req, EXPR_RELATION_DEF))
+    rel_exprs = (
+        r24.join(rels31, r24.s == rels31.e, "left_semi")
+        .join(r18.withColumnRenamed("s", "ex").withColumnRenamed("o", "act"),
+              F.col("o") == F.col("act"))
+        .select(F.col("s").alias("rel"), F.col("ex").alias("expr"))
+        .distinct()
+    )
+    pairs = (
+        rel_exprs.withColumnRenamed("expr", "e1")
+        .join(rel_exprs.withColumnRenamed("expr", "e2"), "rel")
+        .filter(F.col("e1") != F.col("e2"))
+    )
+    for part in (
+        _mk(pairs, "e1", SP + "expr_relation", "e2"),
+        _mk(pairs, "e2", SP + "expr_relation", "e1"),
+        _mk(directions, "rel", I + "R13_hasReferringEntity", "younger_expr"),
+        _mk(directions, "younger_expr", I + "R13i_isReferringEntity", "rel"),
+        _mk(directions, "rel", I + "R12_hasReferredToEntity", "older_expr"),
+        _mk(directions, "older_expr", I + "R12i_isReferredToEntity", "rel"),
+    ):
+        parts.append(_gated(part, *_req))
 
     # expr/tp possibly cites (778-869)
-    if I + "R30i_isTextPassageOf" in preds_present:
-        const += POSSIBLY_CITES_DEF
-        parts.append(_mk(directions, "younger_expr", SP + "expr_possibly_cites", "older_expr"))
-        parts.append(_mk(directions, "older_expr", SP + "expr_possibly_cited_by", "younger_expr"))
-        parts.append(_mk(directions, "younger_expr", SP + "tp_possibly_cites", "older_tp"))
-        parts.append(_mk(directions, "older_tp", SP + "tp_possibly_cited_by", "younger_expr"))
+    _req = (("pred", I + "R30i_isTextPassageOf"),)
+    _const_blocks.append((_req, POSSIBLY_CITES_DEF))
+    for part in (
+        _mk(directions, "younger_expr", SP + "expr_possibly_cites", "older_expr"),
+        _mk(directions, "older_expr", SP + "expr_possibly_cited_by", "younger_expr"),
+        _mk(directions, "younger_expr", SP + "tp_possibly_cites", "older_tp"),
+        _mk(directions, "older_tp", SP + "tp_possibly_cited_by", "younger_expr"),
+    ):
+        parts.append(_gated(part, *_req))
 
     # expr_references (+ instance-level references_person/place, 870-920);
     # the person/place *definition* blocks never fire (SURVEY §4.4.5)
-    if E + "P67_refers_to" in preds_present:
-        const += EXPR_REFERENCES_DEF
-        refs = (
-            r18.join(f2, r18.s == f2.e, "left_semi")
-            .join(p67.withColumnRenamed("s", "act").withColumnRenamed("o", "target"),
-                  F.col("o") == F.col("act"))
-            .select(F.col("s").alias("expr"), "target")
-            .distinct()
-        )
-        parts.append(_mk(refs, "expr", SP + "expr_references", "target"))
-        is_person = typed(E + "E21_Person").withColumnRenamed("e", "target")
-        is_place = typed(E + "E53_Place").withColumnRenamed("e", "target")
-        persons = refs.join(is_person, "target", "left_semi")
-        places = refs.join(is_place, "target", "left_semi").join(
-            is_person, "target", "left_anti")  # elif semantics
-        parts.append(_mk(persons, "expr", SP + "references_person", "target"))
-        parts.append(_mk(places, "expr", SP + "references_place", "target"))
+    _req = (("pred", E + "P67_refers_to"),)
+    _const_blocks.append((_req, EXPR_REFERENCES_DEF))
+    refs = (
+        r18.join(f2, r18.s == f2.e, "left_semi")
+        .join(p67.withColumnRenamed("s", "act").withColumnRenamed("o", "target"),
+              F.col("o") == F.col("act"))
+        .select(F.col("s").alias("expr"), "target")
+        .distinct()
+    )
+    is_person = typed(E + "E21_Person").withColumnRenamed("e", "target")
+    is_place = typed(E + "E53_Place").withColumnRenamed("e", "target")
+    persons = refs.join(is_person, "target", "left_semi")
+    places = refs.join(is_place, "target", "left_semi").join(
+        is_person, "target", "left_anti")  # elif semantics
+    for part in (
+        _mk(refs, "expr", SP + "expr_references", "target"),
+        _mk(persons, "expr", SP + "references_person", "target"),
+        _mk(places, "expr", SP + "references_place", "target"),
+    ):
+        parts.append(_gated(part, *_req))
 
     # has_character (962-991)
-    if I + "INT_Character" in types_present:
-        const += HAS_CHARACTER_DEF
-        hops = (
-            r18.join(f2, r18.s == f2.e, "left_semi")
-            .join(r17.withColumnRenamed("s", "act").withColumnRenamed("o", "feat"),
-                  F.col("o") == F.col("act"))
-            .join(typed(I + "INT_Character").withColumnRenamed("e", "feat2"),
-                  F.col("feat") == F.col("feat2"), "left_semi")
-        )
-        parts.append(_mk(hops, "s", SP + "has_character", "o"))
-        parts.append(_mk(hops, "o", SP + "is_character_in", "s"))
+    _req = (("class", I + "INT_Character"),)
+    _const_blocks.append((_req, HAS_CHARACTER_DEF))
+    hops = (
+        r18.join(f2, r18.s == f2.e, "left_semi")
+        .join(r17.withColumnRenamed("s", "act").withColumnRenamed("o", "feat"),
+              F.col("o") == F.col("act"))
+        .join(typed(I + "INT_Character").withColumnRenamed("e", "feat2"),
+              F.col("feat") == F.col("feat2"), "left_semi")
+    )
+    parts.append(_gated(_mk(hops, "s", SP + "has_character", "o"), *_req))
+    parts.append(_gated(_mk(hops, "o", SP + "is_character_in", "s"), *_req))
 
+    _flush_consts()
     out = g
-    if const:
-        out = out.unionByName(const_triples(spark, const))
     for p in parts:
         out = out.unionByName(p)
     # S7/P10: expand dbpedia CURIEs before the sink (the reference rewrites
