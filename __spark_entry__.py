@@ -688,7 +688,9 @@ def _kg_mentions_oracle() -> str:
         toks = tuple(t for t in _re.split(r"\W+", srf) if t)
         if toks and toks not in ttable:
             ttable[toks] = (srf, qid, sc)
-    ents_sorted = sorted(world.entities, key=lambda e: e["qid"])
+    # (qid, label_en) = the TOTAL order fixtures.interleaved_corpus uses
+    # for ent_idx (qid alone ties on label-variant entities)
+    ents_sorted = sorted(world.entities, key=lambda e: (e["qid"], e["label_en"]))
     n_ent = len(ents_sorted)
 
     def q(v: str) -> str:

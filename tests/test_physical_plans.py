@@ -195,3 +195,33 @@ def test_jaccard_mask_count_gate_falls_back_to_prefix_path(
     assert "row_number" in plan and "bit_count" not in plan
     assert sorted(map(tuple, fast.collect())) \
         == sorted(map(tuple, slow.collect()))
+
+
+def test_merge_full_key_strategy_matches_and_shuffles_labels_only(
+        spark, dims, world):
+    """The skew-robust full-key merge strategy must produce the identical
+    triple set, shuffle the big dedup on the full key (uniform), and
+    re-shuffle only the label fraction for the window."""
+    from wikidata_to_cidoc_crm_spark.model import triples_to_python_set
+    from wikidata_to_cidoc_crm_spark.plans.authors import authors_stage
+    from wikidata_to_cidoc_crm_spark.plans.merge import merge_stage
+
+    qids = spark.createDataFrame([(p["qid"],) for p in world.persons],
+                                 "qid string")
+    a = authors_stage(spark, qids, dims["wd_statements"], dims["wd_labels"]) \
+        .localCheckpoint(eager=True)
+    subj_x = merge_stage(spark, [a], strategy="subj-exchange")
+    full_k = merge_stage(spark, [a], strategy="full-key")
+    assert triples_to_python_set(subj_x) == triples_to_python_set(full_k)
+    plan = _plan(merge_stage(spark, [a], strategy="full-key",
+                             checkpoint=False), "simple")
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange hashpartitioning" in ln]
+    # the dedup shuffles on the FULL 6-tuple key (uniform under hub
+    # subjects), never via a forced full-graph subj repartition (the
+    # un-checkpointed explain repeats the shared subtree per union branch,
+    # so we assert shape, not count; execution shares it via checkpoint)
+    full_graph = [ln for ln in exchanges
+                  if "subj" in ln and "pred" in ln and "obj" in ln]
+    assert len(full_graph) >= 1, plan
+    assert "REPARTITION_BY_COL" not in plan, plan

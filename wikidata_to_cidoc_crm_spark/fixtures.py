@@ -434,9 +434,14 @@ def interleaved_corpus(
     # deterministic dense index for modulo selection
     from pyspark.sql import Window
 
+    # TOTAL order: the entity dimension legitimately repeats a qid with
+    # different label variants, so ordering by qid alone leaves row_number
+    # ties whose resolution is partition-dependent — the ent_idx→label
+    # mapping (and with it every downstream triple) would drift across
+    # cluster sizes (observed at ws800: 1-vs-4-executor digests diverged)
     ent_idx = ent_idx.withColumn(
         "ent_idx",
-        F.row_number().over(Window.orderBy("qid")) - 1,
+        F.row_number().over(Window.orderBy("qid", "label_en")) - 1,
     ).select("ent_idx", "qid", "label_en")
 
     docs = spark.read.parquet(documents_parquet).select(

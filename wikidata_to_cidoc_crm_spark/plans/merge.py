@@ -49,11 +49,14 @@ def cleanup_duplicate_labels(g: DataFrame) -> DataFrame:
     """Keep exactly one rdfs:label per subject (merge.py:41-63)."""
     labels = g.filter(F.col("pred") == RDFS_LABEL)
     others = g.filter(F.col("pred") != RDFS_LABEL)
+    # total order over the remaining triple columns — a tie would make the
+    # surviving label partition-dependent
     w = Window.partitionBy("subj").orderBy(
         F.col("lang").isNull().asc(),
         F.coalesce("lang", F.lit("")).asc(),
         F.col("obj").asc(),
         F.coalesce("dtype", F.lit("")).asc(),
+        F.col("obj_is_iri").asc(),
     )
     kept = (
         labels.withColumn("_rn", F.row_number().over(w))
@@ -74,19 +77,41 @@ def cleanup_ontology(spark: SparkSession, g: DataFrame) -> DataFrame:
     return kept.unionByName(merged_header(spark))
 
 
-def merge_stage(spark: SparkSession, graphs: list[DataFrame]) -> DataFrame:
+def merge_stage(spark: SparkSession, graphs: list[DataFrame],
+                strategy: str = "subj-exchange",
+                checkpoint: bool = True) -> DataFrame:
+    """Deduplicating union. Two exchange strategies (identical output):
+
+    * ``subj-exchange`` (default): ONE full-graph exchange hash-partitioned
+      by subj serves both heavy steps — it satisfies the dropDuplicates
+      clustering (subj is a subset of the triple key) AND the label
+      window's partitionBy(subj), so Catalyst reuses the repartition
+      instead of shuffling the full graph twice. Skew exposure: ALL
+      distinct triples of one hub subject land on one reducer.
+    * ``full-key``: dedup shuffles on the full 6-tuple key (uniform by
+      construction, skew-immune), then ONLY the label fraction re-shuffles
+      by subj for the window — a second, but small, exchange. Use when
+      hub subjects carry a large share of the graph.
+
+    ``tools/skew_probe.py`` measures the trade on a hub-subject fixture;
+    see BENCH/SKEW.md for the recorded decision.
+    """
     g = graphs[0]
     for other in graphs[1:]:
         g = g.unionByName(other)
-    # ONE exchange serves both heavy steps: hash-partitioning by subj
-    # satisfies the dropDuplicates clustering (subj is a subset of the
-    # triple key) AND the label window's partitionBy(subj), so Catalyst
-    # reuses the repartition instead of shuffling the full graph twice.
-    # The lineage-truncating checkpoint comes AFTER the window — a
-    # checkpoint in between would erase the partitioning info and force a
-    # second full shuffle (and make the ontology anti-join's broadcast
-    # side recompute the window subtree).
-    g = g.repartition(F.col("subj"))
-    g = dedupe_triples(g)
-    g = cleanup_duplicate_labels(g).localCheckpoint(eager=False)
+    if strategy == "subj-exchange":
+        # The lineage-truncating checkpoint comes AFTER the window — a
+        # checkpoint in between would erase the partitioning info and force
+        # a second full shuffle (and make the ontology anti-join's
+        # broadcast side recompute the window subtree).
+        g = g.repartition(F.col("subj"))
+        g = dedupe_triples(g)
+        g = cleanup_duplicate_labels(g)
+    elif strategy == "full-key":
+        g = dedupe_triples(g)  # partial agg map-side, full-key exchange
+        g = cleanup_duplicate_labels(g)
+    else:
+        raise ValueError(f"unknown merge strategy: {strategy}")
+    if checkpoint:  # checkpoint=False keeps the full lineage visible for
+        g = g.localCheckpoint(eager=False)  # plan assertions (tests)
     return cleanup_ontology(spark, g)

@@ -396,7 +396,9 @@ def relations_stage(
     )
 
     interp_all = rel_interp_src.unionByName(act_interp_src)
-    wnd = Window.partitionBy("tid").orderBy("prio", "target")
+    # ilabel tiebreak keeps the winner deterministic even if two sources
+    # ever emit the same (tid, prio, target) with different labels
+    wnd = Window.partitionBy("tid").orderBy("prio", "target", "ilabel")
     interp_all = interp_all.withColumn("rank", F.row_number().over(wnd)).localCheckpoint(eager=False)
     creators = interp_all.filter(F.col("rank") == 1)
 
