@@ -71,13 +71,27 @@ def test_merge_single_exchange_for_dedup_and_label_window(spark, dims, world):
                                  "qid string")
     a = authors_stage(spark, qids, dims["wd_statements"], dims["wd_labels"]) \
         .localCheckpoint(eager=True)
-    merged = merge_stage(spark, [a])
+    merged = merge_stage(spark, [a], strategy="subj-exchange",
+                         checkpoint=False)
     plan = _plan(merged, "simple")
-    # exchanges: 1 full-graph hashpartitioning(subj) + at most the tiny
-    # broadcast for the ontology anti-join and the constant header union
-    big_exchanges = [ln for ln in plan.splitlines()
-                     if "Exchange hashpartitioning" in ln]
+    # the forced subj repartition is the ONLY exchange shape over the full
+    # graph (dedup and the label window both reuse its clustering); the
+    # un-checkpointed explain may repeat the shared subtree per union
+    # branch, so assert by distinct shape, not occurrence count
+    import re as _re
+
+    big_exchanges = {
+        _re.sub(r"#\d+", "#", m.group(0))
+        for m in _re.finditer(
+            r"Exchange hashpartitioning\([^)]*\), REPARTITION_BY_COL", plan)}
     assert len(big_exchanges) == 1, plan
+    # and nothing else exchanges the full graph: every non-repartition
+    # exchange is over a pruned (label/ontology-subject) subtree
+    others = [ln for ln in plan.splitlines()
+              if "Exchange hashpartitioning" in ln
+              and "REPARTITION_BY_COL" not in ln]
+    assert not [ln for ln in others
+                if "pred" in ln and "obj" in ln and "lang" in ln], plan
 
 
 def test_label_broadcast_gate_falls_back_to_shuffle_join(spark, dims, world, monkeypatch):

@@ -78,23 +78,26 @@ def cleanup_ontology(spark: SparkSession, g: DataFrame) -> DataFrame:
 
 
 def merge_stage(spark: SparkSession, graphs: list[DataFrame],
-                strategy: str = "subj-exchange",
+                strategy: str = "full-key",
                 checkpoint: bool = True) -> DataFrame:
     """Deduplicating union. Two exchange strategies (identical output):
 
-    * ``subj-exchange`` (default): ONE full-graph exchange hash-partitioned
-      by subj serves both heavy steps — it satisfies the dropDuplicates
-      clustering (subj is a subset of the triple key) AND the label
-      window's partitionBy(subj), so Catalyst reuses the repartition
-      instead of shuffling the full graph twice. Skew exposure: ALL
-      distinct triples of one hub subject land on one reducer.
-    * ``full-key``: dedup shuffles on the full 6-tuple key (uniform by
-      construction, skew-immune), then ONLY the label fraction re-shuffles
-      by subj for the window — a second, but small, exchange. Use when
-      hub subjects carry a large share of the graph.
+    * ``full-key`` (default): dedup shuffles on the full 6-tuple key
+      (uniform by construction, skew-immune), then ONLY the label fraction
+      re-shuffles by subj for the window — a second, but small, exchange.
+    * ``subj-exchange``: ONE full-graph exchange hash-partitioned by subj
+      serves both heavy steps — it satisfies the dropDuplicates clustering
+      (subj is a subset of the triple key) AND the label window's
+      partitionBy(subj), so Catalyst reuses the repartition instead of
+      shuffling the full graph twice. Skew exposure: ALL distinct triples
+      of one hub subject land on one reducer.
 
-    ``tools/skew_probe.py`` measures the trade on a hub-subject fixture;
-    see BENCH/SKEW.md for the recorded decision.
+    Measured (tools/skew_probe.py, 20M uniform + 4M-triple hub subject,
+    local[16], best-of-2): uniform 4.79s vs 4.98s (subj-exchange ~4%
+    ahead, noise-level); skewed 10.54s vs 4.71s (full-key 2.2x faster —
+    the hub pins subj-exchange's single reducer). Hub subjects are
+    guaranteed in web-scale graphs, so full-key is the default; the
+    recorded numbers live in BENCH/SKEW.md.
     """
     g = graphs[0]
     for other in graphs[1:]:
