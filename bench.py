@@ -54,6 +54,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     headline = [
+        "kg_mentions", "kg_media_features",
         "j8_pair_join", "j10_multi_hop", "a3_having_count_distinct",
         "a6_window_dedup", "u3_undirected_pairs", "closure_transitive",
         "cc_components", "dedup_minhash_lsh", "dedup_token_jaccard",

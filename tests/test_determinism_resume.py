@@ -165,3 +165,29 @@ def test_stage_runner_resume_reads_recorded_target(spark, world, dims, tmp_path)
     finally:
         sinks_mod.read_triples_table = orig
     assert seen == [meta["target"]] and out1 == out2
+
+
+def test_corpus_ent_idx_total_order_under_duplicate_qids(spark):
+    """Entity dimensions legitimately repeat a qid across label variants;
+    the corpus generator's ent_idx assignment must be a TOTAL order so the
+    embedded mention labels cannot drift with partitioning (the ws800
+    1-vs-4-executor digest divergence, round 3)."""
+    from pyspark.sql import functions as F
+
+    from wikidata_to_cidoc_crm_spark.fixtures import interleaved_corpus
+
+    ents_rows = [(f"Q{i // 2}", "work", f"Label {i}", None, [])
+                 for i in range(40)]  # every qid appears twice
+
+    def span_digest(n_parts):
+        ents = spark.createDataFrame(
+            ents_rows,
+            "qid string, kind string, label_en string, label_de string, "
+            "aliases array<string>").repartition(n_parts)
+        corpus = interleaved_corpus(
+            spark, "/root/testdata/sf0.001/documents.parquet", ents)
+        return corpus.select(
+            F.xxhash64("doc_id", F.to_json("spans")).alias("h")) \
+            .agg(F.sum(F.col("h").cast("decimal(38,0)"))).collect()[0][0]
+
+    assert span_digest(1) == span_digest(7) == span_digest(16)

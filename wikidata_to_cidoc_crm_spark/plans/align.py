@@ -86,13 +86,33 @@ def align_stage(
     g = g.localCheckpoint(eager=False)
     t = g.select("subj", "pred", "obj")
 
+    # ~30 alignment parts each filter a handful of predicates out of the
+    # graph; scanning the FULL checkpoint per part is O(parts · |G|) I/O.
+    # One pred-routed sub-checkpoint (the union of every predicate any
+    # part touches — a small fraction of a real graph) turns that into
+    # O(parts · |G_sub|); `present` still derives from the full graph.
+    _PART_PREDS = [
+        OWL_SAMEAS, RDF_TYPE,
+        L + "R3_is_realised_in", L + "R4i_is_embodied_in",
+        L + "R7i_is_exemplified_by", I + "R18_showsActualization",
+        I + "R17_actualizesFeature", E + "P67_refers_to",
+        I + "R24_hasRelatedEntity", I + "R30i_isTextPassageOf",
+        L + "R17i_was_created_by", E + "P4_has_time-span",
+        L + "R24_created",
+    ]
+    tsub = t.filter(F.col("pred").isin(_PART_PREDS)).localCheckpoint(eager=False)
+
     def po(p: str) -> DataFrame:
-        return t.filter(F.col("pred") == p).select(
+        # loud failure beats silently-empty joins if a predicate is ever
+        # used without being routed into the sub-checkpoint
+        if p not in _PART_PREDS:
+            raise AssertionError(f"predicate {p} not in _PART_PREDS")
+        return tsub.filter(F.col("pred") == p).select(
             F.col("subj").alias("s"), F.col("obj").alias("o"))
 
     def typed(cls: str) -> DataFrame:
         return (
-            t.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == cls))
+            tsub.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == cls))
             .select(F.col("subj").alias("e")).distinct()
         )
 
