@@ -17,4 +17,4 @@ EOF
 echo "submit with:"
 echo "  spark-submit --py-files wikidata_to_cidoc_crm_spark.zip \\"
 echo "      --conf spark.sql.adaptive.enabled=true \\"
-echo "      -m wikidata_to_cidoc_crm_spark.pipeline"
+echo "      wikidata_to_cidoc_crm_spark/pipeline.py"
