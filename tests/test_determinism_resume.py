@@ -191,3 +191,28 @@ def test_corpus_ent_idx_total_order_under_duplicate_qids(spark):
             .agg(F.sum(F.col("h").cast("decimal(38,0)"))).collect()[0][0]
 
     assert span_digest(1) == span_digest(7) == span_digest(16)
+
+
+def test_stage_runner_surfaces_background_failures(spark):
+    """A failure inside a background stage materialization must surface on
+    the next run() call (or wait()) — not vanish because the consumer
+    never acts on the final stage."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wikidata_to_cidoc_crm_spark.pipeline import StageRunner
+
+    runner = StageRunner(spark, checkpoint_dir=None, pipelined=True)
+
+    def build_poisoned():
+        # fails only at EXECUTION time (inside the background count)
+        return spark.range(10).select(
+            F.assert_true(F.col("id") < 5).alias("x"), "id")
+
+    runner.run("poisoned", "fp", build_poisoned)
+    with pytest.raises(Exception):
+        # either surfaced here via _raise_pending_failures, or in wait()
+        runner.run("next", "fp", lambda: spark.range(1))
+        runner.wait()
+    # pool is shut down after wait(); later stages run synchronously
+    assert runner._pool is None or not runner._pending
