@@ -768,6 +768,32 @@ def _kg_mentions_oracle() -> str:
     """
 
 
+def _kg_validate_oracle() -> str:
+    """SQL twin of _kg_validate (VERDICT r3 item 7).
+
+    Input triples come from the pure-Python reference-semantics oracles
+    (oracle.py / oracle_relations.py — NO Spark involved; golden pytest
+    proves the Spark mapping stages emit the identical triple sets), and
+    the SHACL validation itself is re-expressed as generated ANSI SQL from
+    the same transcribed Shape tables (shacl_sql.validation_summary_sql).
+    DuckDB therefore independently recomputes every per-module violation
+    count the Spark validator reports.
+    """
+    from wikidata_to_cidoc_crm_spark.fixtures import make_world
+    from wikidata_to_cidoc_crm_spark.oracle import authors_triples, works_triples
+    from wikidata_to_cidoc_crm_spark.oracle_relations import relations_triples
+    from wikidata_to_cidoc_crm_spark.shacl_sql import validation_summary_sql
+    from wikidata_to_cidoc_crm_spark.shapes_spec import (
+        AUTHOR_SHAPES, RELATIONS_SHAPES, WORK_SHAPES)
+
+    w = make_world()
+    return validation_summary_sql([
+        ("authors", authors_triples(w), AUTHOR_SHAPES),
+        ("works", works_triples(w), WORK_SHAPES),
+        ("relations", relations_triples(w), RELATIONS_SHAPES),
+    ])
+
+
 def oracle_sql() -> dict[str, str]:
     # multi-probe masks for ann_lsh_topk (planes=6, probe_hamming=2):
     # identical enumeration to operators/similarity.lsh_topk
@@ -1189,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "kg_mentions": _kg_mentions_oracle(),
+        "kg_validate": _kg_validate_oracle(),
         # twin of operators/multimodal: the media table is re-derived from
         # documents (md5-conv doc selection, fixtures.interleaved_corpus),
         # the stub payload is the UTF-8 bytes of sha2-hex(media_ref) so

@@ -49,7 +49,17 @@ world_scale = int(sys.argv[4])
 if "x" in level:
     n_exec, exec_cores = (int(v) for v in level.split("x"))
     cores = n_exec * exec_cores
-    mem_mb = 1024 * int(str({exec_mem!r}).rstrip("g"))
+    raw_mem = str({exec_mem!r}).strip().lower()
+    if raw_mem.endswith("g"):
+        mem_mb = 1024 * int(raw_mem[:-1])
+    elif raw_mem.endswith("m"):
+        mem_mb = int(raw_mem[:-1])
+    elif raw_mem.isdigit():  # bare number = megabytes (local-cluster unit)
+        mem_mb = int(raw_mem)
+    else:
+        raise ValueError(
+            f"SPARK_GRAFT_EXEC_MEM={{raw_mem!r}}: expected <n>g, <n>m, or "
+            "a bare megabyte count (e.g. 10g, 10240m, 10240)")
     master = f"local-cluster[{{n_exec}},{{exec_cores}},{{mem_mb}}]"
 else:
     cores = int(level)
@@ -73,12 +83,14 @@ for i in range(runs + 1):  # first run is warm-up (discarded)
     df._pipeline_runner.wait()  # background stage-exec threads (pipelined runner)
     total_sec = time.time() - t0
     digest = f'{{h["hsum"]}}_{{h["hmod"]}}_{{h["n"]}}'
-    exec_sec = sum(m.get("exec_sec", 0.0) for m in df._pipeline_metrics)
+    exec_sec = sum(m.get("exec_sec", 0.0) + m.get("exec_embedded_sec", 0.0)
+                   for m in df._pipeline_metrics)
     plan_sec = sum(m.get("plan_sec", 0.0) for m in df._pipeline_metrics)
     results.append({{"total_sec": total_sec, "exec_sec": exec_sec,
                      "plan_sec": plan_sec, "triples": h["n"],
                      "stages": [{{"stage": m["stage"],
-                                  "exec": m.get("exec_sec"),
+                                  "exec": round(m.get("exec_sec", 0.0)
+                                                + m.get("exec_embedded_sec", 0.0), 2),
                                   "plan": m.get("plan_sec")}}
                                 for m in df._pipeline_metrics]}})
 timed = results[1:]

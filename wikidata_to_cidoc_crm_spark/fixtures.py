@@ -405,7 +405,16 @@ def world_to_spark(spark: SparkSession, w: World) -> dict[str, DataFrame]:
             w.external_ids, ["qid", "id_type", "value"],
             "qid string, id_type string, value string"),
     }
-    return {k: v.localCheckpoint(eager=True) for k, v in dims.items()}
+    # the seven eager checkpoints are mutually independent — materialize
+    # them from a thread pool (multi-threaded py4j against one session is
+    # safe; each checkpoint is its own tiny job) instead of serially paying
+    # ~7 planning+job round-trips on the driver's critical path
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4, thread_name_prefix="dims") as pool:
+        futs = {k: pool.submit(lambda df: df.localCheckpoint(eager=True), v)
+                for k, v in dims.items()}
+        return {k: f.result() for k, f in futs.items()}
 
 
 def interleaved_corpus(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..session import lazy_checkpoint
 
 
 def connected_components(
@@ -38,7 +39,7 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).transform(lazy_checkpoint)  # materialized by the n_edges count below
     # right-size the fixpoint's shuffle width to the data: canonicalization
     # edge sets are usually dimension-sized, and running every tiny
     # iteration at the session's full shuffle width spends more time
@@ -47,13 +48,15 @@ def connected_components(
     n_edges = sym.count()
     parts = max(2, min(int(sym.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32")), n_edges // 100_000 + 1))
-    sym = sym.repartition(parts, "a").localCheckpoint(eager=True)
+    # lazy: the first fixpoint round's action materializes sym + labels in
+    # the same job instead of two extra up-front jobs
+    sym = sym.repartition(parts, "a").transform(lazy_checkpoint)
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("mb"))
         .select(F.col("a").alias("node"), F.least("a", "mb").alias("comp"))
         .repartition(parts, "node")
-    ).localCheckpoint(eager=True)
+    ).transform(lazy_checkpoint)
 
     converged = False
     for _ in range(max_iterations):
@@ -74,8 +77,10 @@ def connected_components(
         # pointer doubling: comp := comp-of-comp, so the label horizon
         # doubles each round (O(log diameter) instead of O(diameter)).
         # The changed flag is computed inside the same pass (comp vs the
-        # carried-through old label), so convergence detection is a cheap
-        # scan of the checkpoint blocks — not a second join job per round.
+        # carried-through old label). The checkpoint is LAZY and the
+        # convergence aggregate is the round's ONLY action: it materializes
+        # the checkpoint blocks and returns max(_chg) in the same job, so
+        # each fixpoint round costs exactly one scheduler round-trip.
         parent = new_labels.select(
             F.col("node").alias("_p"), F.col("comp").alias("_pcomp"))
         new_labels = (
@@ -86,8 +91,10 @@ def connected_components(
                 (F.least(F.col("comp"), F.coalesce("_pcomp", "comp"))
                  != F.col("_old")).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        ).transform(lazy_checkpoint)
+        changed = new_labels.agg(
+            F.coalesce(F.max(F.col("_chg").cast("int")), F.lit(0)).alias("c")
+        ).collect()[0]["c"]
         labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..session import lazy_checkpoint
 
 # above this many DISTINCT token-set bitmasks the all-pairs popcount
 # compare is quadratic and its broadcast fact-sized — take the prefix
@@ -128,7 +129,7 @@ def jaccard_pairs(
             .groupBy("id")
             .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"),
                  F.count("*").alias("sz"))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
         # compare DISTINCT masks all-pairs (a broadcast nested-loop of
         # integer popcounts), then expand the surviving mask pairs back to

@@ -23,13 +23,21 @@ from pyspark.sql import functions as F
 QUERY_BROADCAST_MAX = 1_000_000
 
 
-def _check_query_side(queries: DataFrame, op: str) -> None:
-    n = queries.limit(QUERY_BROADCAST_MAX + 1).count()
-    if n > QUERY_BROADCAST_MAX:
+def _pin_query_side(queries: DataFrame, op: str) -> DataFrame:
+    """Guard + pin: materialize the (limit-bounded) query side once.
+
+    The eager local checkpoint serves BOTH the guard count and the real
+    top-k job, so the guard does not execute the query-side plan an extra
+    time (ADVICE r3); the ``limit`` bounds the scan so an oversized query
+    side fails loudly without being fully computed.
+    """
+    pinned = queries.limit(QUERY_BROADCAST_MAX + 1).localCheckpoint(eager=True)
+    if pinned.count() > QUERY_BROADCAST_MAX:
         raise ValueError(
             f"{op}: query side exceeds QUERY_BROADCAST_MAX="
             f"{QUERY_BROADCAST_MAX} rows and cannot be broadcast — "
             "block/partition the queries (e.g. run per-shard) instead")
+    return pinned
 
 
 def _dot(a, b):
@@ -61,7 +69,7 @@ def brute_force_topk(
     ``queries`` is broadcast (small side); candidates ranked by
     (score desc, neighbor_id) for deterministic ties.
     """
-    _check_query_side(queries, "brute_force_topk")
+    queries = _pin_query_side(queries, "brute_force_topk")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
@@ -151,7 +159,7 @@ def lsh_topk(
     probes down as N grows. Recall@k vs ``brute_force_topk`` is pytest-gated
     on the driver testdata (tests/test_operators.py).
     """
-    _check_query_side(queries, "lsh_topk")
+    queries = _pin_query_side(queries, "lsh_topk")
     masks = [0]
     if probe_hamming >= 1:
         masks += [1 << i for i in range(planes)]

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -32,6 +33,7 @@ from .plans.canonicalize import canonicalize_stage
 from .plans.merge import merge_stage
 from .plans.relations import relations_stage
 from .plans.works import works_stage
+from .session import lazy_checkpoint
 
 TRIPLE_BUCKETS = 64
 
@@ -60,12 +62,17 @@ class StageRunner:
         self._pool = (ThreadPoolExecutor(max_workers=2, thread_name_prefix="stage-exec")
                       if pipelined and checkpoint_dir is None else None)
         self._pending: list = []
+        # run() is called concurrently from the mapping-stage plan pool, so
+        # _pending mutations must be atomic: two threads snapshotting the
+        # same done future would double-remove (ValueError) without the lock
+        self._pending_lock = threading.Lock()
 
     @staticmethod
     def _force(df: DataFrame, metric: dict, t_submit: float) -> None:
         df.count()  # first action materializes the lazy local checkpoint
         metric["exec_sec"] = round(time.time() - t_submit, 2)
-        metric["wall_sec"] = round(metric["plan_sec"] + metric["exec_sec"], 2)
+        metric["wall_sec"] = round(metric["plan_sec"] + metric["exec_sec"]
+                                   + metric.get("exec_embedded_sec", 0.0), 2)
 
     def wait(self) -> None:
         """Block until every background stage materialization finished.
@@ -75,11 +82,13 @@ class StageRunner:
         the next :meth:`run`). Terminal for pipelining — the pool is shut
         down; later stages on this runner execute synchronously.
         """
+        with self._pending_lock:
+            snapshot = list(self._pending)
+            self._pending.clear()
         try:
-            for fut in self._pending:
+            for fut in snapshot:
                 fut.result()
         finally:
-            self._pending.clear()
             if self._pool is not None:
                 self._pool.shutdown(wait=True)
                 self._pool = None
@@ -88,11 +97,19 @@ class StageRunner:
         """Surface exceptions from already-finished background stages —
         without this, a consumer that never acts on the final stage would
         silently lose executor failures."""
-        for fut in [f for f in self._pending if f.done()]:
-            self._pending.remove(fut)
+        with self._pending_lock:
+            done = [f for f in self._pending if f.done()]
+            for fut in done:
+                self._pending.remove(fut)
+        for fut in done:
             fut.result()
 
-    def run(self, name: str, fingerprint: str, build) -> DataFrame:
+    def run(self, name: str, fingerprint: str, build, lazy: bool = True) -> DataFrame:
+        """``lazy=False`` keeps AQE for the stage's checkpoint: under AQE the
+        checkpoint call executes every non-result stage synchronously, so use
+        it ONLY for the final stage — its execution cannot overlap anything
+        downstream, and AQE's runtime coalescing makes the many small
+        dimension-sized shuffles cheaper than a fixed-width static plan."""
         t0 = time.time()
         self._raise_pending_failures()
         if self.dir:
@@ -137,14 +154,22 @@ class StageRunner:
         # stage's distributed execution (the BASELINE.md-protocol number;
         # overlapped with the next stage's plan_sec when pipelined).
         df = build()
-        df = df.localCheckpoint(eager=False)
+        t_built = time.time()
+        df = df.transform(lazy_checkpoint) if lazy \
+            else df.localCheckpoint(eager=False)
         t1 = time.time()
         metric = {"stage": name, "fingerprint": fingerprint,
-                  "plan_sec": round(t1 - t0, 2), "reused": False}
+                  "plan_sec": round((t1 - t0) if lazy else (t_built - t0), 2),
+                  "reused": False}
+        if not lazy:
+            # under AQE the checkpoint call itself executes every
+            # non-result stage — attribute that to exec, not planning
+            metric["exec_embedded_sec"] = round(t1 - t_built, 2)
         self.metrics.append(metric)
         if self._pool is not None:
-            self._pending.append(
-                self._pool.submit(self._force, df, metric, t1))
+            with self._pending_lock:
+                self._pending.append(
+                    self._pool.submit(self._force, df, metric, t1))
         else:
             self._force(df, metric, t1)
         return df
@@ -206,8 +231,11 @@ def run_pipeline(
         "mentions", fp,
         lambda: detect_mentions(spark, docs, dims["wd_entities"]),
     )
-    persons = linked_qids(mentions, dims["wd_entities"], "person").localCheckpoint(eager=True)
-    works = linked_qids(mentions, dims["wd_entities"], "work").localCheckpoint(eager=True)
+    # LAZY checkpoints: the mapping stages' first background action
+    # materializes these (once — per-block locks), so the corpus→mentions→
+    # link chain executes off the driver's plan-construction critical path
+    persons = linked_qids(mentions, dims["wd_entities"], "person").transform(lazy_checkpoint)
+    works = linked_qids(mentions, dims["wd_entities"], "work").transform(lazy_checkpoint)
 
     # dedupe per stage BEFORE the checkpoint: the relation families emit
     # quadratically many duplicate triples on hub features (C(n,2) pairs
@@ -255,6 +283,7 @@ def run_pipeline(
     aligned = runner.run(
         "aligned", fp,
         lambda: align_stage(spark, canonical, dims["wd_external_ids"]),
+        lazy=False,  # final stage: nothing to overlap; AQE exec is faster
     )
     aligned._pipeline_metrics = runner.metrics  # introspection for bench
     aligned._pipeline_runner = runner  # callers: runner.wait() before reading exec_sec

@@ -62,6 +62,7 @@ from .align_spec import (
     SKOS_BLOCKS,
     SP,
 )
+from ..session import lazy_checkpoint
 
 L, I, E = LRMOO, INTRO, ECRM
 
@@ -83,7 +84,7 @@ def align_stage(
     g: DataFrame,
     external_ids: DataFrame | None = None,
 ) -> DataFrame:
-    g = g.localCheckpoint(eager=False)
+    g = g.transform(lazy_checkpoint)
     t = g.select("subj", "pred", "obj")
 
     # ~30 alignment parts each filter a handful of predicates out of the
@@ -100,7 +101,7 @@ def align_stage(
         L + "R17i_was_created_by", E + "P4_has_time-span",
         L + "R24_created",
     ]
-    tsub = t.filter(F.col("pred").isin(_PART_PREDS)).localCheckpoint(eager=False)
+    tsub = t.filter(F.col("pred").isin(_PART_PREDS)).transform(lazy_checkpoint)
 
     def po(p: str) -> DataFrame:
         # loud failure beats silently-empty joins if a predicate is ever
@@ -137,7 +138,7 @@ def align_stage(
         .select("pr.kind", "pr.val")
         .filter(F.col("val").isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
 
     _gate_cache: dict[tuple, DataFrame] = {}
@@ -316,7 +317,7 @@ def align_stage(
             F.when(F.col("y1") < F.col("y2"), F.col("tp2")).otherwise(F.col("tp1")).alias("younger_tp"),
             F.when(F.col("y1") < F.col("y2"), F.col("tp1")).otherwise(F.col("tp2")).alias("older_tp"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
 
     # about (696-720)

@@ -45,6 +45,7 @@ from ..model import (
     emit_triples,
 )
 from .constants import authors_header
+from ..session import lazy_checkpoint
 
 AUTHOR_PIDS = ["P21", "P19", "P20", "P569", "P570", "P18"]
 XSD_DATE = XSD + "date"
@@ -85,7 +86,7 @@ def wide_authors(
     # structural, not incidental.
     lab_en = labels.filter(F.col("lang") == "en").select(
         F.col("qid").alias("_lqid"), F.col("label").alias("_label")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     # gate the forced label broadcast on dimension size (shuffle-join
     # fallback for fact-sized label tables — same rule as relations_stage)
     from .relations import LABEL_BROADCAST_MAX

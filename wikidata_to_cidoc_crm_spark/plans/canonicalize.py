@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..model import OWL_SAMEAS, RDF_TYPE, RDFS_LABEL, TRIPLE_KEY
 from ..operators.components import connected_components
 from ..operators.dedup import minhash_lsh_dedup
+from ..session import lazy_checkpoint
 
 # above this many (uri, canonical) rows the rewrite map no longer
 # broadcasts safely (same rationale as relations.LABEL_BROADCAST_MAX)
@@ -37,7 +38,7 @@ def entity_labels(triples: DataFrame, classes: list[str]) -> DataFrame:
     narrow = triples.filter(
         ((F.col("pred") == RDF_TYPE) & F.col("obj").isin(classes))
         | (F.col("pred") == RDFS_LABEL)
-    ).select("subj", "pred", "obj").localCheckpoint(eager=False)
+    ).select("subj", "pred", "obj").transform(lazy_checkpoint)
     typed = (
         narrow.filter(F.col("pred") == RDF_TYPE)
         .select(F.col("subj").alias("uri"), F.col("obj").alias("cls"))

@@ -30,6 +30,7 @@ from ..model import (
     const_triples,
     dedupe_triples,
 )
+from ..session import lazy_checkpoint
 
 OWL_ONTOLOGY = OWL + "Ontology"
 OWL_IMPORTS = OWL + "imports"
@@ -95,9 +96,11 @@ def merge_stage(spark: SparkSession, graphs: list[DataFrame],
     Measured (tools/skew_probe.py, 20M uniform + 4M-triple hub subject,
     local[16], best-of-2): uniform 4.79s vs 4.98s (subj-exchange ~4%
     ahead, noise-level); skewed 10.54s vs 4.71s (full-key 2.2x faster —
-    the hub pins subj-exchange's single reducer). Hub subjects are
-    guaranteed in web-scale graphs, so full-key is the default; the
-    recorded numbers live in BENCH/SKEW.md.
+    the hub pins subj-exchange's single reducer). Measured WITH AQE +
+    skew-join enabled — AQE cannot split the hub partition because the
+    window/dedup require key co-location (BENCH/SKEW.md). Hub subjects are
+    guaranteed in web-scale graphs, so full-key is the default;
+    ``subj-exchange`` is test-only (plan-equality gates + skew probe).
     """
     g = graphs[0]
     for other in graphs[1:]:
@@ -116,5 +119,5 @@ def merge_stage(spark: SparkSession, graphs: list[DataFrame],
     else:
         raise ValueError(f"unknown merge strategy: {strategy}")
     if checkpoint:  # checkpoint=False keeps the full lineage visible for
-        g = g.localCheckpoint(eager=False)  # plan assertions (tests)
+        g = g.transform(lazy_checkpoint)  # plan assertions (tests)
     return cleanup_ontology(spark, g)

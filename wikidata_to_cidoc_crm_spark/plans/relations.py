@@ -57,6 +57,7 @@ from ..model import (
 )
 from ..operators.pairs import first_partner, pair_join
 from .constants import relations_header
+from ..session import lazy_checkpoint
 
 ID_TYPE = SAPPHO + "id_type/wikidata"
 
@@ -135,11 +136,21 @@ def relations_stage(
     dedupe: bool = True,
     broadcast_labels: bool | None = None,
 ) -> DataFrame:
+    # Driver-side plan construction is this stage's dominant fixed cost
+    # (~10 checkpoint plannings + py4j traffic), so the independent
+    # checkpointed subplans are built from a small thread pool — JVM-side
+    # Catalyst planning of distinct subtrees runs in parallel, and the
+    # resulting PLANS are identical to the serial build (threading only
+    # reorders construction, never content).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="rel-plan")
+
     # canonical build side for every label attach (see _attach_label) —
     # the checkpoint pins the subtree so exchange reuse is structural
-    lab = _label_lookup(labels).select(
+    f_lab = pool.submit(lambda: _label_lookup(labels).select(
         F.col("qid").alias("__lk"), F.col("_lbl").alias("__lv")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint))
     # gate the forced label broadcast on dimension size (shuffle-join
     # fallback for fact-sized label tables); callers that already know the
     # dimension size pass the flag to avoid a per-stage recount
@@ -154,7 +165,7 @@ def relations_stage(
     # exact subtree so the broadcast hash relation is built once and
     # ReusedExchange serves the ~8 other sites (per-site renames would
     # force a fresh single-threaded build each time)
-    Wb = W.select(F.col("qid").alias("__wq")).localCheckpoint(eager=False)
+    Wb = W.select(F.col("qid").alias("__wq")).transform(lazy_checkpoint)
 
     def in_W(df: DataFrame, key: str) -> DataFrame:
         return df.join(F.broadcast(Wb), F.col(key) == F.col("__wq"), "left_semi")
@@ -207,40 +218,74 @@ def relations_stage(
         .select("tgt", "family")
         .distinct()
     )
-    fw_all0 = (
-        statements.filter(F.col("object_is_entity"))
-        .join(F.broadcast(pid_fam), "pid")
-        .select("family", F.col("subject_qid").alias("work"),
-                F.col("object_value").alias("tgt"))
-        .transform(lambda d: in_W(d, "work"))
-    )
-    fw_typed = fw_all0.filter(F.col("family").isin(list(typed_req))).join(
-        typed_pairs, ["tgt", "family"], "left_semi")
-    fw_untyped = fw_all0.filter(F.col("family").isin(["motif", "character"]))
-    fw_all = (
-        fw_typed.unionByName(fw_untyped)
-        .withColumn("family",
-                    F.when(F.col("family") == "character_typed", "character")
-                    .otherwise(F.col("family")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    def _build_fw_chain():
+        """fw_all → qfw_all → all_pairs: the stage's longest dependent
+        checkpoint chain, built on one thread."""
+        fw_all0 = (
+            statements.filter(F.col("object_is_entity"))
+            .join(F.broadcast(pid_fam), "pid")
+            .select("family", F.col("subject_qid").alias("work"),
+                    F.col("object_value").alias("tgt"))
+            .transform(lambda d: in_W(d, "work"))
+        )
+        fw_typed = fw_all0.filter(F.col("family").isin(list(typed_req))).join(
+            typed_pairs, ["tgt", "family"], "left_semi")
+        fw_untyped = fw_all0.filter(F.col("family").isin(["motif", "character"]))
+        fw_all = (
+            fw_typed.unionByName(fw_untyped)
+            .withColumn("family",
+                        F.when(F.col("family") == "character_typed", "character")
+                        .otherwise(F.col("family")))
+            .distinct()
+            .transform(lazy_checkpoint)
+        )
+        # qualifying features: shared by ≥2 works (HAVING COUNT(DISTINCT
+        # ?wrk)>1, relations.py:371-372 / len(works)<2 guards)
+        q = (
+            fw_all.groupBy("family", "tgt").agg(F.countDistinct("work").alias("n"))
+            .filter(F.col("n") >= 2).select("family", "tgt")
+        )
+        qfw = fw_all.join(q, ["family", "tgt"], "left_semi").transform(lazy_checkpoint)
+        # --- pairs for all families at once (J8) ---
+        # hub features (> heavy_threshold works) go through the salted join
+        # so one popular topic cannot pin the whole stage on a single
+        # reducer: a key with n members generates C(n,2) pairs in ONE task
+        # otherwise (measured 3.4x stage speedup at world_scale=400 on
+        # local[32]). threshold 256 caps the unsalted per-key burst at ~32k.
+        pairs = pair_join(qfw, key=["family", "tgt"], work="work",
+                          salt_partitions=32, heavy_threshold=256) \
+            .transform(lazy_checkpoint)
+        return qfw, pairs
 
-    # qualifying features: shared by ≥2 works (HAVING COUNT(DISTINCT ?wrk)>1,
-    # relations.py:371-372 / len(works)<2 guards)
-    q = (
-        fw_all.groupBy("family", "tgt").agg(F.countDistinct("work").alias("n"))
-        .filter(F.col("n") >= 2).select("family", "tgt")
-    )
-    qfw_all = fw_all.join(q, ["family", "tgt"], "left_semi").localCheckpoint(eager=False)
+    def _build_workref():
+        # work references (relations.py:616-669): tgt ∈ W too; no ≥2 gate
+        return (
+            edges(["P921"])
+            .filter(F.col("tgt").startswith("Q"))
+            .transform(lambda d: in_W(d, "tgt"))
+            .transform(lazy_checkpoint)
+        )
 
-    # work references (relations.py:616-669): tgt ∈ W too; no ≥2 requirement
-    workref = (
-        edges(["P921"])
-        .filter(F.col("tgt").startswith("Q"))
-        .transform(lambda d: in_W(d, "tgt"))
-        .localCheckpoint(eager=False)
-    )
+    def _build_cite_kept():
+        # citations (relations.py:765-818): (tgt=subject) cites (src=object);
+        # both-directions dedup keeps lexicographically smaller (src, tgt)
+        cite_directed = (
+            edges(["P2860", "P6166"])
+            .transform(lambda d: in_W(d, "tgt"))
+            .select(F.col("tgt").alias("src"), F.col("work").alias("tgt"))
+            .filter(F.col("src") != F.col("tgt"))
+        )
+        return (
+            cite_directed.groupBy(
+                F.least("src", "tgt").alias("_a"), F.greatest("src", "tgt").alias("_b"))
+            .agg(F.min(F.struct("src", "tgt")).alias("_p"))
+            .select(F.col("_p.src").alias("src"), F.col("_p.tgt").alias("tgt"))
+            .transform(lazy_checkpoint)
+        )
+
+    f_fw = pool.submit(_build_fw_chain)
+    f_workref = pool.submit(_build_workref)
+    f_cite = pool.submit(_build_cite_kept)
 
     # int31 direct links (relations.py:299-354): forward P4969; reversed
     # P144/P5059/P941 (SURVEY §4.4.3)
@@ -248,31 +293,10 @@ def relations_stage(
     int31_bwd = in_W(edges(["P144", "P5059", "P941"]), "tgt").select(F.col("tgt").alias("wa"), F.col("work").alias("wb"))
     int31_pairs = int31_fwd.unionByName(int31_bwd).filter(F.col("wa") != F.col("wb"))
 
-    # citations (relations.py:765-818): (tgt=subject) cites (src=object);
-    # both-directions dedup keeps lexicographically smaller (src, tgt)
-    cite_directed = (
-        edges(["P2860", "P6166"])
-        .transform(lambda d: in_W(d, "tgt"))
-        .select(F.col("tgt").alias("src"), F.col("work").alias("tgt"))
-        .filter(F.col("src") != F.col("tgt"))
-    )
-    cite_kept = (
-        cite_directed.groupBy(
-            F.least("src", "tgt").alias("_a"), F.greatest("src", "tgt").alias("_b"))
-        .agg(F.min(F.struct("src", "tgt")).alias("_p"))
-        .select(F.col("_p.src").alias("src"), F.col("_p.tgt").alias("tgt"))
-        .localCheckpoint(eager=False)
-    )
-
-    # --- pairs for all families at once (J8) + first-pair-wins partner ---
-    # hub features (> heavy_threshold works) go through the salted join so
-    # one popular topic cannot pin the whole stage on a single reducer: a
-    # key with n members generates C(n,2) pairs in ONE task otherwise
-    # (measured 3.4x stage speedup at world_scale=400 on local[32]).
-    # threshold 256 caps the unsalted per-key pair burst at ~32k rows.
-    all_pairs = pair_join(qfw_all, key=["family", "tgt"], work="work",
-                          salt_partitions=32, heavy_threshold=256) \
-        .localCheckpoint(eager=False)
+    qfw_all, all_pairs = f_fw.result()
+    workref = f_workref.result()
+    cite_kept = f_cite.result()
+    lab = f_lab.result()
     fam_acts = first_partner(qfw_all, key=["family", "tgt"], work="work")
 
     # workref pairs/acts: rel per (src, tgt); act key {tgt}_{src}
@@ -286,20 +310,61 @@ def relations_stage(
         .unionByName(workref_pairs.select(F.col("src").alias("w1"), F.col("tgt").alias("w2")))
         .unionByName(cite_kept.select(F.col("src").alias("w1"), F.col("tgt").alias("w2")))
     )
-    rels = (
-        rel_members.select(
-            F.least("w1", "w2").alias("w1"), F.greatest("w1", "w2").alias("w2"))
-        .distinct()
-    )
-    rels = _attach(rels, lab, "w1", "l1")
-    rels = _attach(rels, lab, "w2", "l2")
-    # casefold-sorted label pair (relations.py:284)
-    rels = rels.withColumn(
-        "la", F.when(F.lower("l1") <= F.lower("l2"), F.col("l1")).otherwise(F.col("l2"))
-    ).withColumn(
-        "lb", F.when(F.lower("l1") <= F.lower("l2"), F.col("l2")).otherwise(F.col("l1"))
-    ).withColumn("rel", F.concat(F.lit(SAPPHO + "relation/"), "w1", F.lit("_"), "w2")
-    ).withColumn("tid", F.concat("w1", F.lit("_"), "w2")).localCheckpoint(eager=False)
+    def _build_rels():
+        r = (
+            rel_members.select(
+                F.least("w1", "w2").alias("w1"), F.greatest("w1", "w2").alias("w2"))
+            .distinct()
+        )
+        r = _attach(r, lab, "w1", "l1")
+        r = _attach(r, lab, "w2", "l2")
+        # casefold-sorted label pair (relations.py:284)
+        return r.withColumn(
+            "la", F.when(F.lower("l1") <= F.lower("l2"), F.col("l1")).otherwise(F.col("l2"))
+        ).withColumn(
+            "lb", F.when(F.lower("l1") <= F.lower("l2"), F.col("l2")).otherwise(F.col("l1"))
+        ).withColumn("rel", F.concat(F.lit(SAPPHO + "relation/"), "w1", F.lit("_"), "w2")
+        ).withColumn("tid", F.concat("w1", F.lit("_"), "w2")).transform(lazy_checkpoint)
+
+    f_rels = pool.submit(_build_rels)
+
+    # --- acts (family + workref); per-family label/priority as expressions ---
+    def _build_acts():
+        fa = _attach(fam_acts, lab, "tgt", "tlbl")
+        fa = _attach(fa, lab, "work", "wlbl")
+        prio_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[8]))])
+        is_ref_fam = F.col("family").isin(["person_ref", "place_ref"])
+        a = fa.select(
+            "tgt", "work", "rel_w1", "rel_w2", "tlbl", "wlbl", "family",
+            F.col("family").alias("typ"),
+            F.when(is_ref_fam, F.format_string("Reference to %s in %s", "tlbl", "wlbl"))
+            .otherwise(F.format_string("%s in %s", "tlbl", "wlbl")).alias("alabel"),
+            prio_map[F.col("family")].alias("prio"),
+        )
+        workref_acts = _attach(workref_pairs, lab, "tgt", "tlbl")
+        workref_acts = _attach(workref_acts, lab, "src", "wlbl")
+        workref_acts = workref_acts.select(
+            "tgt", F.col("src").alias("work"),
+            F.least("src", "tgt").alias("rel_w1"), F.greatest("src", "tgt").alias("rel_w2"),
+            "tlbl", "wlbl",
+            F.lit("work_ref").alias("family"), F.lit("work_ref").alias("typ"),
+            F.format_string("Reference to %s in %s", "tlbl", "wlbl").alias("alabel"),
+            F.lit(9).alias("prio"),
+        )
+        a = a.unionByName(workref_acts)
+        return a.withColumn(
+            "act", F.concat(F.lit(SAPPHO + "actualization/"), "typ", F.lit("/"),
+                            "tgt", F.lit("_"), "work")
+        ).withColumn(
+            "feat_uri",
+            F.concat(F.lit(SAPPHO + "feature/"), "typ", F.lit("/"), "tgt"),
+        ).withColumn(
+            "rel", F.concat(F.lit(SAPPHO + "relation/"), "rel_w1", F.lit("_"), "rel_w2")
+        ).withColumn("expr", mint("expression", "work")).transform(lazy_checkpoint)
+
+    f_acts = pool.submit(_build_acts)
+
+    rels = f_rels.result()
 
     rel_label = F.format_string("Intertextual relation between %s and %s", "la", "lb")
     rel_triples = emit_triples(rels, [
@@ -324,40 +389,8 @@ def relations_stage(
         F.lit(0).alias("prio"),
     )
 
-    # --- acts (family + workref); per-family label/priority as expressions ---
-    fam_acts = _attach(fam_acts, lab, "tgt", "tlbl")
-    fam_acts = _attach(fam_acts, lab, "work", "wlbl")
-    fam_meta = {f[0]: (f[3], f[4], f[5], f[6], f[7], f[8]) for f in FAMILIES}
-    prio_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[8]))])
-    is_ref_fam = F.col("family").isin(["person_ref", "place_ref"])
-    acts = fam_acts.select(
-        "tgt", "work", "rel_w1", "rel_w2", "tlbl", "wlbl", "family",
-        F.col("family").alias("typ"),
-        F.when(is_ref_fam, F.format_string("Reference to %s in %s", "tlbl", "wlbl"))
-        .otherwise(F.format_string("%s in %s", "tlbl", "wlbl")).alias("alabel"),
-        prio_map[F.col("family")].alias("prio"),
-    )
-
-    workref_acts = _attach(workref_pairs, lab, "tgt", "tlbl")
-    workref_acts = _attach(workref_acts, lab, "src", "wlbl")
-    workref_acts = workref_acts.select(
-        "tgt", F.col("src").alias("work"),
-        F.least("src", "tgt").alias("rel_w1"), F.greatest("src", "tgt").alias("rel_w2"),
-        "tlbl", "wlbl",
-        F.lit("work_ref").alias("family"), F.lit("work_ref").alias("typ"),
-        F.format_string("Reference to %s in %s", "tlbl", "wlbl").alias("alabel"),
-        F.lit(9).alias("prio"),
-    )
-    acts = acts.unionByName(workref_acts)
-    acts = acts.withColumn(
-        "act", F.concat(F.lit(SAPPHO + "actualization/"), "typ", F.lit("/"),
-                        "tgt", F.lit("_"), "work")
-    ).withColumn(
-        "feat_uri",
-        F.concat(F.lit(SAPPHO + "feature/"), "typ", F.lit("/"), "tgt"),
-    ).withColumn(
-        "rel", F.concat(F.lit(SAPPHO + "relation/"), "rel_w1", F.lit("_"), "rel_w2")
-    ).withColumn("expr", mint("expression", "work")).localCheckpoint(eager=False)
+    acts = f_acts.result()
+    pool.shutdown(wait=True)
 
     act_triples = emit_triples(acts, [
         Rule(F.col("act"), RDF_TYPE, INTRO + "INT2_ActualizationOfFeature",
@@ -399,7 +432,7 @@ def relations_stage(
     # ilabel tiebreak keeps the winner deterministic even if two sources
     # ever emit the same (tid, prio, target) with different labels
     wnd = Window.partitionBy("tid").orderBy("prio", "target", "ilabel")
-    interp_all = interp_all.withColumn("rank", F.row_number().over(wnd)).localCheckpoint(eager=False)
+    interp_all = interp_all.withColumn("rank", F.row_number().over(wnd)).transform(lazy_checkpoint)
     creators = interp_all.filter(F.col("rank") == 1)
 
     interp_creation = emit_triples(creators, [

@@ -45,6 +45,7 @@ from ..model import (
     emit_triples,
 )
 from .constants import works_header
+from ..session import lazy_checkpoint
 
 XSD_GYEAR = XSD + "gYear"
 ID_TYPE_WIKIDATA = SAPPHO + "id_type/wikidata"
@@ -119,7 +120,7 @@ def wide_works(
         labels.groupBy("qid").pivot("lang", ["en", "de"]).agg(F.min("label"))
         .select(F.col("qid").alias("_lq"), F.col("en").alias("_len"),
                 F.col("de").alias("_lde"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     for key, out in [("qid", "work_label"), ("genre_qid", "genre_label"),
                      ("author_qid", "author_label"), ("pub_place_qid", "pub_place_label"),
@@ -136,7 +137,7 @@ def wide_works(
     dl_all = (
         labels.filter(F.col("lang") == "de")
         .select(F.col("qid").alias("_dq"), F.col("label").alias("_dl"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     for key, out in [("published_in", "published_in_de"), ("part_of", "part_of_de")]:
         w = w.join(_maybe_bcast(dl_all), F.col(key) == F.col("_dq"), "left") \

@@ -9,8 +9,9 @@ used via ``spark-submit --py-files`` (see ``pipeline.py`` main).
 from __future__ import annotations
 
 import os
+import threading
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def default_cores() -> int:
@@ -53,6 +54,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver-side plan-construction cost levers (measured on the
+        # relations stage build, tools/plan_cost_experiment.py):
+        # dataFrameDebugging (static conf) gates a per-DataFrame-call
+        # inspect stack walk + an extra py4j origin round-trip (~5%);
+        # constraint propagation is quadratic-ish on the ~90-rule union
+        # plans and buys nothing here — all join keys are explicitly
+        # non-null by construction (~25% of plan time)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     if master and master.startswith("local-cluster"):
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -68,6 +78,55 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_aqe_toggle_lock = threading.Lock()
+_aqe_depth = 0
+_aqe_prev = "true"
+
+
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` that is ACTUALLY lazy under AQE.
+
+    With adaptive execution enabled, ``Dataset.localCheckpoint`` calls
+    ``AdaptiveSparkPlanExec.execute()``, whose ``getFinalPhysicalPlan``
+    SUBMITS every intermediate shuffle stage synchronously — so a nominally
+    lazy checkpoint executes all but the result stage on the driver's
+    plan-construction critical path (measured: job 0 runs during the
+    checkpoint call; with AQE off, zero jobs). This helper scopes
+    ``spark.sql.adaptive.enabled=false`` around the checkpoint so physical
+    planning happens now but execution happens at the first downstream
+    action (background-thread pipelined in StageRunner).
+
+    The checkpointed subtree's eventual execution is therefore non-AQE:
+    acceptable here because every skew-prone spot has an explicit handler
+    (salted pair join, full-key merge dedup, static shuffle sizing — see
+    BENCH/SKEW.md) rather than relying on AQE. The session-global conf
+    toggle is serialized under a lock; concurrent plan-building threads in
+    run_pipeline only ever compile checkpoint subtrees or trivial counts,
+    so a stray non-AQE compile is harmless.
+
+    Concurrent callers (the plan-construction thread pools) must not
+    serialize on the expensive planning call itself, so the AQE-off window
+    is depth-counted: the first entering thread disables AQE, the last
+    leaving thread restores it, and the planning calls run in parallel
+    inside the window (JVM-side Catalyst planning of distinct queries is
+    thread-safe).
+    """
+    global _aqe_depth, _aqe_prev
+    spark = df.sparkSession
+    with _aqe_toggle_lock:
+        if _aqe_depth == 0:
+            _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _aqe_depth += 1
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        with _aqe_toggle_lock:
+            _aqe_depth -= 1
+            if _aqe_depth == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
 
 
 def stop_spark() -> None:

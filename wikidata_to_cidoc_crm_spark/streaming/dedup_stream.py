@@ -19,6 +19,15 @@ exact dedup.
 
 The same function also runs in batch (``applyInPandas`` on a grouped
 DataFrame with first-row-wins semantics) — used by the unit test twin.
+
+``n_dups_seen`` CONTRACT: duplicates observed *up to and including the
+emitting micro-batch* (rows beyond the winner in that batch). Because the
+operator emits each fingerprint exactly once (append mode, first-seen), it
+cannot report duplicates that arrive in later micro-batches — consumers
+needing a running total should read the state-store count or aggregate the
+raw stream separately. In batch mode / single-file ``availableNow`` runs
+the whole input is one batch, so the value equals the total duplicate
+count and matches ``batch_first_seen``'s ``count(*) - 1``.
 """
 
 from __future__ import annotations
@@ -29,6 +38,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.dedup import normalize_text
 
+# n_dups_seen = emission-time duplicate count (see module docstring): exact
+# total only for batch / one-batch availableNow runs
 OUT_SCHEMA = "fingerprint string, doc_id string, text string, n_dups_seen int"
 STATE_SCHEMA = "seen int"
 
