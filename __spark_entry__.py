@@ -650,122 +650,12 @@ _TOKS = f"list_filter(string_split_regex(lower(text), '{_TOK}'), x -> x != '')"
 
 
 def _kg_mentions_oracle() -> str:
-    """SQL twin of linking.detect_mentions over the interleaved corpus.
-
-    The corpus text spans are re-derived from `documents` (the md5-conv
-    selection hashes in fixtures.interleaved_corpus are ANSI-replicable);
-    the (deterministic, sf-independent) fixture dictionary is embedded as
-    VALUES with the SAME token-tuple normalization as the Python matcher.
-    Leftmost-longest greedy matching = per-position longest candidate +
-    a recursive CTE consuming tokens left to right; the final window
-    mirrors detect_mentions' best-score/min-surface dedup.
-    """
-    import re as _re
-
+    """SQL twin of linking.detect_mentions over the interleaved corpus
+    (generator lives in map_sql.mentions_sql; see its docstring)."""
     from wikidata_to_cidoc_crm_spark.fixtures import make_world
+    from wikidata_to_cidoc_crm_spark.map_sql import mentions_sql
 
-    world = make_world()
-    # replicate linking.build_surface_table
-    table: dict[str, tuple[str, float]] = {}
-
-    def put(surface, qid, score):
-        if not surface:
-            return
-        cur = table.get(surface)
-        if cur is None or score > cur[1] or (score == cur[1] and qid < cur[0]):
-            table[surface] = (qid, score)
-
-    for e in world.entities:
-        put(e["label_en"], e["qid"], 1.0)
-        put(e["label_de"], e["qid"], 0.9)
-        for a in e["aliases"] or []:
-            put(a, e["qid"], 0.7)
-    # replicate the matcher's token-tuple table (first surface in sorted
-    # order wins for identical token tuples)
-    ttable: dict[tuple, tuple] = {}
-    for srf in sorted(table):
-        qid, sc = table[srf]
-        toks = tuple(t for t in _re.split(r"\W+", srf) if t)
-        if toks and toks not in ttable:
-            ttable[toks] = (srf, qid, sc)
-    # (qid, label_en) = the TOTAL order fixtures.interleaved_corpus uses
-    # for ent_idx (qid alone ties on label-variant entities)
-    ents_sorted = sorted(world.entities, key=lambda e: (e["qid"], e["label_en"]))
-    n_ent = len(ents_sorted)
-
-    def q(v: str) -> str:
-        return "'" + v.replace("'", "''") + "'"
-
-    dict_rows = ",\n        ".join(
-        "([" + ",".join(q(t) for t in toks) + "], "
-        + str(len(toks)) + ", " + q(toks[0]) + ", "
-        + q(srf) + ", " + q(qid) + ", " + repr(sc) + ")"
-        for toks, (srf, qid, sc) in sorted(ttable.items()))
-    ent_rows = ",\n        ".join(
-        f"({i}, {q(e['label_en'])})" for i, e in enumerate(ents_sorted))
-    return f"""
-        WITH dict(toks, L, first_tok, surface, qid, score) AS (
-          VALUES {dict_rows}
-        ), ents(ent_idx, label_en) AS (
-          VALUES {ent_rows}
-        ), base AS (
-          SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS span_offset,
-                 substr(text, 1, 400) AS text
-          FROM documents
-        ), ment AS (
-          SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
-                 CAST(2*i.i + 1 AS INTEGER) AS span_offset,
-                 'In this passage ' || e.label_en || ' is discussed at length.' AS text
-          FROM documents d
-          CROSS JOIN (SELECT unnest(range(0, 3)) AS i) i
-          JOIN ents e
-            ON e.ent_idx = CAST('0x' || substr(md5(
-                 CAST(d.doc_id AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 6)
-                 AS BIGINT) % {n_ent}
-        ), spans AS (
-          SELECT doc_id, span_offset,
-                 list_filter(regexp_split_to_array(
-                   text, '[^\\p{{L}}\\p{{N}}_]+'), x -> x != '') AS toks
-          FROM (SELECT * FROM base UNION ALL SELECT * FROM ment)
-        ), pos AS (
-          SELECT doc_id, span_offset, toks, unnest(range(1, len(toks) + 1)) AS p
-          FROM spans
-        ), cand AS (
-          SELECT s.doc_id, s.span_offset, s.p, d.L, d.surface, d.qid, d.score
-          FROM pos s JOIN dict d
-            ON s.toks[s.p] = d.first_tok
-           AND s.p + d.L - 1 <= len(s.toks)
-           AND s.toks[s.p : s.p + d.L - 1] = d.toks
-        ), best AS (
-          SELECT * FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY doc_id, span_offset, p ORDER BY L DESC) AS rn
-            FROM cand) WHERE rn = 1
-        ), pick AS (
-          WITH RECURSIVE g AS (
-            SELECT doc_id, span_offset, p, L, surface, qid, score
-            FROM best b
-            WHERE p = (SELECT min(p) FROM best b2
-                       WHERE b2.doc_id = b.doc_id
-                         AND b2.span_offset = b.span_offset)
-            UNION ALL
-            SELECT b.doc_id, b.span_offset, b.p, b.L, b.surface, b.qid, b.score
-            FROM g JOIN best b
-              ON b.doc_id = g.doc_id AND b.span_offset = g.span_offset
-             AND b.p = (SELECT min(b2.p) FROM best b2
-                        WHERE b2.doc_id = g.doc_id
-                          AND b2.span_offset = g.span_offset
-                          AND b2.p >= g.p + g.L)
-          ) SELECT * FROM g
-        )
-        SELECT doc_id, CAST(span_offset AS INTEGER) AS span_offset, surface,
-               qid, CAST(score AS DOUBLE) AS score
-        FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY doc_id, span_offset, qid
-            ORDER BY score DESC, surface) AS rn
-          FROM pick) WHERE rn = 1
-    """
+    return mentions_sql(make_world())
 
 
 def _kg_validate_oracle() -> str:
@@ -792,6 +682,50 @@ def _kg_validate_oracle() -> str:
         ("works", works_triples(w), WORK_SHAPES),
         ("relations", relations_triples(w), RELATIONS_SHAPES),
     ])
+
+
+def _kg_authors_oracle() -> str:
+    """SQL twin of _kg_authors: the fixture world's person QIDs, statements
+    and labels are embedded as VALUES and the full authors.py:254-363
+    emission is re-derived in SQL (map_sql.authors_sql) — an independent
+    third implementation alongside the Spark plan and the pure-Python
+    oracle."""
+    from wikidata_to_cidoc_crm_spark.fixtures import make_world
+    from wikidata_to_cidoc_crm_spark.map_sql import authors_sql
+
+    return authors_sql(make_world())
+
+
+def _kg_works_oracle() -> str:
+    """SQL twin of _kg_works (works.py:333-554 emission re-derived in SQL
+    over the embedded fixture inputs — map_sql.works_sql)."""
+    from wikidata_to_cidoc_crm_spark.fixtures import make_world
+    from wikidata_to_cidoc_crm_spark.map_sql import works_sql
+
+    return works_sql(make_world())
+
+
+def _kg_relations_oracle() -> str:
+    """SQL twin of _kg_relations (relations.py:299-877's nine processors in
+    SQL over the embedded fixture inputs — map_sql.relations_sql, including
+    the first-partner-wins actualization links and citation-direction
+    winners)."""
+    from wikidata_to_cidoc_crm_spark.fixtures import make_world
+    from wikidata_to_cidoc_crm_spark.map_sql import relations_sql
+
+    return relations_sql(make_world())
+
+
+def _kg_pipeline_oracle() -> str:
+    """SQL twin of the FULL pipeline (corpus → link → map ×3 → merge →
+    canonicalize → align) at the contract's sf0.01 world scale —
+    pipeline_sql.pipeline_sql composes the per-stage twins into one query
+    over the `documents` view plus embedded fixture dimensions."""
+    from wikidata_to_cidoc_crm_spark.fixtures import make_world_scaled
+    from wikidata_to_cidoc_crm_spark.pipeline import world_scale_for
+    from wikidata_to_cidoc_crm_spark.pipeline_sql import pipeline_sql
+
+    return pipeline_sql(make_world_scaled(world_scale_for("sf0.01")))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1216,6 +1150,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_mentions": _kg_mentions_oracle(),
         "kg_validate": _kg_validate_oracle(),
+        "kg_authors": _kg_authors_oracle(),
+        "kg_works": _kg_works_oracle(),
+        "kg_relations": _kg_relations_oracle(),
+        "kg_pipeline": _kg_pipeline_oracle(),
         # twin of operators/multimodal: the media table is re-derived from
         # documents (md5-conv doc selection, fixtures.interleaved_corpus),
         # the stub payload is the UTF-8 bytes of sha2-hex(media_ref) so
