@@ -280,10 +280,17 @@ def run_pipeline(
         "canonicalized", fp,
         lambda: canonicalize_stage(spark, merged),
     )
+    # final stage: nothing downstream to overlap, so by default keep AQE
+    # (lazy=False) — its runtime coalescing beats a static plan on the many
+    # dimension-sized shuffles at small scale. SPARK_GRAFT_FINAL_AQE=0
+    # switches to the static (lazy) plan for A/B measurement: static exec
+    # submits independent branches concurrently instead of AQE's
+    # stage-wave driver coordination, which may win at larger world scales.
+    final_aqe = os.environ.get("SPARK_GRAFT_FINAL_AQE", "1") != "0"
     aligned = runner.run(
         "aligned", fp,
         lambda: align_stage(spark, canonical, dims["wd_external_ids"]),
-        lazy=False,  # final stage: nothing to overlap; AQE exec is faster
+        lazy=not final_aqe,
     )
     aligned._pipeline_metrics = runner.metrics  # introspection for bench
     aligned._pipeline_runner = runner  # callers: runner.wait() before reading exec_sec

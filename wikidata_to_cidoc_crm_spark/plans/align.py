@@ -84,8 +84,22 @@ def align_stage(
     g: DataFrame,
     external_ids: DataFrame | None = None,
 ) -> DataFrame:
+    """PRECONDITION: ``g`` is a distinct triple set (every upstream stage
+    ends in a dedup). The final assembly exploits this: only triples whose
+    predicate a dynamic part can emit (recorded by ``mk``) or whose subject
+    a constant block can emit can collide with the alignment delta, so the
+    set-union dedup shuffles ONLY that fraction plus the delta — the rest
+    of the graph streams through map-side (no full-graph exchange)."""
     g = g.transform(lazy_checkpoint)
     t = g.select("subj", "pred", "obj")
+
+    # predicates any dynamic (non-constant-block) part can emit — a triple
+    # of g can only equal a delta triple if it shares the predicate
+    dyn_preds: set[str] = set()
+
+    def mk(df: DataFrame, s, pred: str, o) -> DataFrame:
+        dyn_preds.add(pred)
+        return _mk(df, s, pred, o)
 
     # ~30 alignment parts each filter a handful of predicates out of the
     # graph; scanning the FULL checkpoint per part is O(parts · |G|) I/O.
@@ -170,6 +184,10 @@ def align_stage(
 
     parts: list[DataFrame] = []
 
+    # subjects any constant block can emit — a triple of g can only equal
+    # a constant-block triple if it shares the subject
+    const_subjs: set[str] = set()
+
     def _flush_consts() -> None:
         from ..model import TRIPLE_SCHEMA as _TS
 
@@ -179,6 +197,7 @@ def align_stage(
             req_rows += [(b, k, v) for k, v in reqs]
             for tr in triples:
                 st, pr, ob = tr[0], tr[1], tr[2]
+                const_subjs.add(st)
                 cand_rows.append((
                     b, st, pr, ob,
                     tr[3] if len(tr) > 3 else True,
@@ -214,7 +233,7 @@ def align_stage(
         enr = same.join(external_ids, "qid").withColumn(
             "uri", F.replace(tmpl[F.col("id_type")], F.lit("{v}"), F.col("value"))
         ).filter(F.col("uri").rlike("^(https?://|dbpedia:)"))
-        parts.append(_mk(enr, "s", OWL_SAMEAS, "uri"))
+        parts.append(mk(enr, "s", OWL_SAMEAS, "uri"))
 
     r3 = po(L + "R3_is_realised_in")
     r4i = po(L + "R4i_is_embodied_in")
@@ -234,7 +253,7 @@ def align_stage(
         .join(r4i.withColumnRenamed("s", "o1").withColumnRenamed("o", "mani"),
               F.col("o") == F.col("o1"))
     )
-    parts.append(_gated(_mk(hops, "s", SP + "has_manifestation", "mani"), *_req))
+    parts.append(_gated(mk(hops, "s", SP + "has_manifestation", "mani"), *_req))
 
     # has_portrayal (608-633)
     _req = (("class", L + "F1_Work"), ("class", L + "F5_Item"))
@@ -246,7 +265,7 @@ def align_stage(
         .join(r7i.withColumnRenamed("s", "m1").withColumnRenamed("o", "item"),
               F.col("mani") == F.col("m1"))
     )
-    parts.append(_gated(_mk(hops, "s", SP + "has_portrayal", "item"), *_req))
+    parts.append(_gated(mk(hops, "s", SP + "has_portrayal", "item"), *_req))
 
     # has_representation (635-658)
     _req = (("class", L + "F2_Expression"), ("class", L + "F5_Item"))
@@ -256,7 +275,7 @@ def align_stage(
         .join(r7i.withColumnRenamed("s", "m1").withColumnRenamed("o", "item"),
               F.col("o") == F.col("m1"))
     )
-    parts.append(_gated(_mk(hops, "s", SP + "has_representation", "item"), *_req))
+    parts.append(_gated(mk(hops, "s", SP + "has_representation", "item"), *_req))
 
     # --- directions (660-694): per INT31 rel with exactly two text passages ---
     r24 = po(I + "R24_hasRelatedEntity")        # rel -> related entity
@@ -330,7 +349,7 @@ def align_stage(
         .join(typed(I + "INT_Topic").withColumnRenamed("e", "feat2"),
               F.col("feat") == F.col("feat2"), "left_semi")
     )
-    parts.append(_gated(_mk(hops, "s", SP + "about", "feat"), *_req))
+    parts.append(_gated(mk(hops, "s", SP + "about", "feat"), *_req))
 
     # expr_relation (723-776) + intended-semantics R12/R13 directions
     _req = (("class", I + "INT31_IntertextualRelation"),)
@@ -348,12 +367,12 @@ def align_stage(
         .filter(F.col("e1") != F.col("e2"))
     )
     for part in (
-        _mk(pairs, "e1", SP + "expr_relation", "e2"),
-        _mk(pairs, "e2", SP + "expr_relation", "e1"),
-        _mk(directions, "rel", I + "R13_hasReferringEntity", "younger_expr"),
-        _mk(directions, "younger_expr", I + "R13i_isReferringEntity", "rel"),
-        _mk(directions, "rel", I + "R12_hasReferredToEntity", "older_expr"),
-        _mk(directions, "older_expr", I + "R12i_isReferredToEntity", "rel"),
+        mk(pairs, "e1", SP + "expr_relation", "e2"),
+        mk(pairs, "e2", SP + "expr_relation", "e1"),
+        mk(directions, "rel", I + "R13_hasReferringEntity", "younger_expr"),
+        mk(directions, "younger_expr", I + "R13i_isReferringEntity", "rel"),
+        mk(directions, "rel", I + "R12_hasReferredToEntity", "older_expr"),
+        mk(directions, "older_expr", I + "R12i_isReferredToEntity", "rel"),
     ):
         parts.append(_gated(part, *_req))
 
@@ -361,10 +380,10 @@ def align_stage(
     _req = (("pred", I + "R30i_isTextPassageOf"),)
     _const_blocks.append((_req, POSSIBLY_CITES_DEF))
     for part in (
-        _mk(directions, "younger_expr", SP + "expr_possibly_cites", "older_expr"),
-        _mk(directions, "older_expr", SP + "expr_possibly_cited_by", "younger_expr"),
-        _mk(directions, "younger_expr", SP + "tp_possibly_cites", "older_tp"),
-        _mk(directions, "older_tp", SP + "tp_possibly_cited_by", "younger_expr"),
+        mk(directions, "younger_expr", SP + "expr_possibly_cites", "older_expr"),
+        mk(directions, "older_expr", SP + "expr_possibly_cited_by", "younger_expr"),
+        mk(directions, "younger_expr", SP + "tp_possibly_cites", "older_tp"),
+        mk(directions, "older_tp", SP + "tp_possibly_cited_by", "younger_expr"),
     ):
         parts.append(_gated(part, *_req))
 
@@ -385,9 +404,9 @@ def align_stage(
     places = refs.join(is_place, "target", "left_semi").join(
         is_person, "target", "left_anti")  # elif semantics
     for part in (
-        _mk(refs, "expr", SP + "expr_references", "target"),
-        _mk(persons, "expr", SP + "references_person", "target"),
-        _mk(places, "expr", SP + "references_place", "target"),
+        mk(refs, "expr", SP + "expr_references", "target"),
+        mk(persons, "expr", SP + "references_person", "target"),
+        mk(places, "expr", SP + "references_place", "target"),
     ):
         parts.append(_gated(part, *_req))
 
@@ -401,16 +420,28 @@ def align_stage(
         .join(typed(I + "INT_Character").withColumnRenamed("e", "feat2"),
               F.col("feat") == F.col("feat2"), "left_semi")
     )
-    parts.append(_gated(_mk(hops, "s", SP + "has_character", "o"), *_req))
-    parts.append(_gated(_mk(hops, "o", SP + "is_character_in", "s"), *_req))
+    parts.append(_gated(mk(hops, "s", SP + "has_character", "o"), *_req))
+    parts.append(_gated(mk(hops, "o", SP + "is_character_in", "s"), *_req))
 
     _flush_consts()
-    out = g
-    for p in parts:
-        out = out.unionByName(p)
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
     # S7/P10: expand dbpedia CURIEs before the sink (the reference rewrites
     # the serialized file, map_and_align.py:996-1004; the engine normalizes
-    # the column instead)
+    # the column instead). CURIEs only enter via the enrichment part, so
+    # the pass runs on the collision branch; g's rows are CURIE-free.
     from ..sources.readers import normalize_dbpedia
 
-    return dedupe_triples(normalize_dbpedia(out))
+    # Delta-dedup (see docstring): an input triple can equal a delta
+    # triple only if it shares a dynamic part's predicate or a constant
+    # block's subject. Everything else streams through with NO exchange;
+    # the dedup shuffles just that fraction plus the delta itself — the
+    # full-graph dropDuplicates this replaces was the stage's dominant
+    # shuffle at scale.
+    risk = (F.col("pred").isin(sorted(dyn_preds))
+            | F.col("subj").isin(sorted(const_subjs)))
+    g_safe = g.filter(~risk)
+    g_risk = g.filter(risk)
+    return g_safe.unionByName(
+        dedupe_triples(normalize_dbpedia(g_risk.unionByName(delta))))

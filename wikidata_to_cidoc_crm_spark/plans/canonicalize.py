@@ -92,18 +92,27 @@ def canonicalize_stage(
     n_cmap = cmap.count()
     if n_cmap == 0:
         return triples
-    # ONE canonical (uri, canonical) build side for both rewrite joins —
-    # identical subtrees let Spark build the broadcast hash relation once
-    # and serve the obj-side join via ReusedExchange (the map scales with
-    # data, so a second single-threaded build is real serial cost).
+    # ONE canonical build side for both rewrite joins — identical subtrees
+    # let Spark build the broadcast hash relation once and serve the
+    # obj-side join via ReusedExchange (the map scales with data, so a
+    # second single-threaded build is real serial cost). Identity rows for
+    # the canonical targets are unioned in so a join MATCH means exactly
+    # "this term is in the rewrite's domain ∪ range" — the collision
+    # criterion for the delta-dedup below — while the joined value is
+    # still the correctly rewritten term (itself, for a canonical).
     # The canonical map grows with the number of duplicate entities — i.e.
     # with the corpus, not with a dimension — so the broadcast is gated on
     # its size exactly like LABEL_BROADCAST_MAX: above the cap the rewrite
     # falls back to shuffle hash joins (keyed on subj/obj, uniform).
-    cm = cmap.select(F.col("uri").alias("__cu"), F.col("canonical").alias("__cc"))
+    cm = (
+        cmap.select(F.col("uri").alias("__cu"), F.col("canonical").alias("__cc"))
+        .unionByName(cmap.select(F.col("canonical").alias("__cu"),
+                                 F.col("canonical").alias("__cc")))
+        .distinct()
+    )
     if n_cmap <= CANONICAL_BROADCAST_MAX:
         cm = F.broadcast(cm)
-    out = (
+    rewritten = (
         triples.join(cm, F.col("subj") == F.col("__cu"), "left")
         .withColumn("_cs", F.col("__cc")).drop("__cu", "__cc")
         .join(cm, F.col("obj") == F.col("__cu"), "left")
@@ -114,6 +123,8 @@ def canonicalize_stage(
             F.when(F.col("obj_is_iri"), F.coalesce("_co", "obj"))
             .otherwise(F.col("obj")).alias("obj"),
             "obj_is_iri", "lang", "dtype",
+            (F.col("_cs").isNotNull()
+             | (F.col("obj_is_iri") & F.col("_co").isNotNull())).alias("_touched"),
         )
     )
     merge_links = cmap.select(
@@ -124,4 +135,16 @@ def canonicalize_stage(
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("string").alias("dtype"),
     )
-    return out.unionByName(merge_links).dropDuplicates(TRIPLE_KEY)
+    # Delta-dedup: only triples incident to the rewrite's domain ∪ range
+    # (post-rewrite: subj or IRI-obj is a canonical or was rewritten) can
+    # collide — an untouched triple's terms avoid domain ∪ range entirely,
+    # so it cannot equal any touched/merge-link triple, and the untouched
+    # set is already distinct (the merge stage dedups). Shuffling ONLY the
+    # touched fraction replaces the former full-graph dropDuplicates —
+    # at 100 TB that's the difference between re-shuffling the whole graph
+    # and shuffling the (duplicate-entity-proportional) delta. Both
+    # branches re-scan the checkpointed input map-side; no extra shuffle.
+    untouched = rewritten.filter(~F.col("_touched")).drop("_touched")
+    touched = rewritten.filter(F.col("_touched")).drop("_touched")
+    return untouched.unionByName(
+        touched.unionByName(merge_links).dropDuplicates(TRIPLE_KEY))
