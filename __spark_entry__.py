@@ -581,6 +581,22 @@ def _kg_media_features(spark, sf):
     )
 
 
+def _frame_sample(spark, sf):
+    """Video frame-sampling plumbing (operators/multimodal.frame_sample_plan):
+    one row per 250 ms sample timestamp for every video-kind media payload —
+    pure column math (explode over sequence), no UDF."""
+    from wikidata_to_cidoc_crm_spark.fixtures import interleaved_corpus, make_world, world_to_spark
+    from wikidata_to_cidoc_crm_spark.operators.multimodal import (
+        frame_sample_plan, synthesize_media_table)
+
+    world = make_world()
+    dims = world_to_spark(spark, world)
+    corpus = interleaved_corpus(spark, f"{sf}/documents.parquet", dims["wd_entities"])
+    media = synthesize_media_table(corpus.select("doc_id", "spans"))
+    return frame_sample_plan(media, every_ms=250).select(
+        "media_ref", F.col("frame_ms").cast("int").alias("frame_ms"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / projections / filters / scalar functions (SURVEY §2.1/2.2/2.7)
@@ -638,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations": _kg_relations,
         "kg_mentions": _kg_mentions,
         "kg_media_features": _kg_media_features,
+        "frame_sample": _frame_sample,
         "kg_pipeline": _kg_pipeline,
     }
 
@@ -1182,5 +1199,25 @@ def oracle_sql() -> dict[str, str]:
                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
                 (x, y) -> x + y)), 4) AS feature_norm
             FROM f
+        """,
+        # twin of operators/multimodal.frame_sample_plan: same md5-conv
+        # media derivation as kg_media_features; every video payload has
+        # duration_ms=1000, sampled every 250 ms → frames 0,250,500,750
+        # (Spark sequence(0, duration-1, 250) inclusive == DuckDB
+        # range(0, duration, 250) end-exclusive)
+        "frame_sample": """
+            WITH media AS (
+              SELECT DISTINCT 'media://' || CAST(doc_id AS VARCHAR) || '/art' AS media_ref
+              FROM documents
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 3 = 0
+            ), f AS (
+              SELECT media_ref,
+                ['image','audio','video'][
+                  CAST(CAST('0x' || substr(md5(media_ref), 1, 6) AS BIGINT) % 3 AS INT) + 1
+                ] AS kind
+              FROM media
+            )
+            SELECT media_ref, CAST(unnest(range(0, 1000, 250)) AS INTEGER) AS frame_ms
+            FROM f WHERE kind = 'video'
         """,
     }

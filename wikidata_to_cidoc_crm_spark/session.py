@@ -64,6 +64,13 @@ def get_spark(
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.constraintPropagation.enabled", "false")
     )
+    # shuffle/spill scratch on tmpfs when available: on this single-box
+    # sandbox all executors share ONE virtio disk, which a real cluster
+    # scales per-node — measured at ws800/local-cluster[4,4] the shared
+    # disk cost ~15% of 4x4 wall (210.1s best-of-5 on disk vs 180.2s on
+    # tmpfs). SPARK_LOCAL_DIRS / spark.local.dir still override.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
     if master and master.startswith("local-cluster"):
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = (
