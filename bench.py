@@ -24,6 +24,11 @@ from wikidata_to_cidoc_crm_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    # measurement protocol (BENCH/BASELINE.md): shuffle scratch on tmpfs —
+    # this single box shares ONE virtio disk across all executor threads,
+    # a sandbox artifact a real cluster doesn't have. Explicit opt-in only
+    # here and in tools/scaling_bench.py; general sessions use disk.
+    os.environ.setdefault("SPARK_GRAFT_TMPFS_SCRATCH", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:

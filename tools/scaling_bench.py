@@ -111,10 +111,14 @@ print(json.dumps({{
 def run_level(level: str, sf_dir: str, runs: int, world_scale: int,
               shuffle: int = 0) -> dict:
     exec_mem = os.environ.get("SPARK_GRAFT_EXEC_MEM", "10g")
+    # protocol (BENCH/BASELINE.md): tmpfs shuffle scratch — removes the
+    # shared-single-disk sandbox artifact; opt-in is explicit per session
+    env = {**os.environ, "SPARK_GRAFT_TMPFS_SCRATCH":
+           os.environ.get("SPARK_GRAFT_TMPFS_SCRATCH", "1")}
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO, exec_mem=exec_mem),
          level, sf_dir, str(runs), str(world_scale), str(shuffle)],
-        capture_output=True, text=True, timeout=5400,
+        capture_output=True, text=True, timeout=5400, env=env,
     )
     lines = out.stdout.strip().splitlines()
     if not lines:

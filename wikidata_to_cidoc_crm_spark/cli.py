@@ -111,12 +111,11 @@ def cmd_map_align(args) -> int:
     from .sources.readers import read_triples
 
     spark = _spark(args)
-    from .model import dedupe_triples
-
-    # align_stage's delta-dedup assumes a distinct input set; a TTL file
-    # from outside the pipeline may repeat triples, so enforce it here
-    g = dedupe_triples(read_triples(spark, args.input))
-    return _write(align_stage(spark, g), args.output)
+    # a TTL file from outside the pipeline may repeat triples and carry
+    # dbpedia CURIEs anywhere — assume_distinct=False selects the
+    # full-graph dedup + whole-output CURIE normalization path
+    g = read_triples(spark, args.input)
+    return _write(align_stage(spark, g, assume_distinct=False), args.output)
 
 
 def cmd_pipeline(args) -> int:

@@ -86,8 +86,14 @@ class StageRunner:
             snapshot = list(self._pending)
             self._pending.clear()
         try:
+            errors = []
             for fut in snapshot:
-                fut.result()
+                try:
+                    fut.result()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors.append(e)
+            if errors:
+                raise errors[0]
         finally:
             if self._pool is not None:
                 self._pool.shutdown(wait=True)
@@ -101,8 +107,17 @@ class StageRunner:
             done = [f for f in self._pending if f.done()]
             for fut in done:
                 self._pending.remove(fut)
+        # collect from EVERY popped future before raising: they are removed
+        # from _pending, so an error raised on the first failure would drop
+        # the remaining futures' exceptions (wait() would never see them)
+        errors = []
         for fut in done:
-            fut.result()
+            try:
+                fut.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errors.append(e)
+        if errors:
+            raise errors[0]
 
     def run(self, name: str, fingerprint: str, build, lazy: bool = True) -> DataFrame:
         """``lazy=False`` keeps AQE for the stage's checkpoint: under AQE the

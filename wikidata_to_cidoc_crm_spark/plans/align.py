@@ -83,13 +83,20 @@ def align_stage(
     spark: SparkSession,
     g: DataFrame,
     external_ids: DataFrame | None = None,
+    assume_distinct: bool = True,
 ) -> DataFrame:
-    """PRECONDITION: ``g`` is a distinct triple set (every upstream stage
-    ends in a dedup). The final assembly exploits this: only triples whose
-    predicate a dynamic part can emit (recorded by ``mk``) or whose subject
-    a constant block can emit can collide with the alignment delta, so the
-    set-union dedup shuffles ONLY that fraction plus the delta — the rest
-    of the graph streams through map-side (no full-graph exchange)."""
+    """``assume_distinct`` (default) encodes the PRECONDITION that ``g`` is
+    a distinct triple set (every upstream stage ends in a dedup). The final
+    assembly exploits this: only triples whose predicate a dynamic part can
+    emit (recorded by ``mk``) or whose subject a constant block can emit
+    can collide with the alignment delta, so the set-union dedup shuffles
+    ONLY that fraction plus the delta — the rest of the graph streams
+    through map-side (no full-graph exchange). Callers with possibly
+    duplicated input (e.g. an externally supplied TTL graph) MUST pass
+    ``assume_distinct=False``: the stage then falls back to the full-graph
+    set-union dedup and runs the dbpedia CURIE normalization over the
+    whole output, matching the reference's serialized-file rewrite
+    (map_and_align.py:996-1004) for arbitrary inputs."""
     g = g.transform(lazy_checkpoint)
     t = g.select("subj", "pred", "obj")
 
@@ -433,6 +440,10 @@ def align_stage(
     # the pass runs on the collision branch; g's rows are CURIE-free.
     from ..sources.readers import normalize_dbpedia
 
+    if not assume_distinct:
+        # arbitrary (possibly duplicated) input: full-graph set-union dedup
+        # + whole-output CURIE normalization, the pre-delta-dedup behavior
+        return dedupe_triples(normalize_dbpedia(g.unionByName(delta)))
     # Delta-dedup (see docstring): an input triple can equal a delta
     # triple only if it shares a dynamic part's predicate or a constant
     # block's subject. Everything else streams through with NO exchange;

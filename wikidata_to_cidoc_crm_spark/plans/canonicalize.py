@@ -82,12 +82,22 @@ def canonicalize_stage(
     triples: DataFrame,
     classes: list[str] | None = None,
     threshold: float = 0.9,
+    assume_distinct: bool = True,
 ) -> DataFrame:
-    """Rewrite triples through the canonical map; add owl:sameAs merge links."""
+    """Rewrite triples through the canonical map; add owl:sameAs merge links.
+
+    ``assume_distinct`` (default) encodes the precondition that ``triples``
+    is already a distinct set (the merge stage dedups); the output dedup
+    then shuffles only the rewrite-touched fraction. Pass ``False`` for
+    possibly-duplicated inputs to get the full-graph set-union dedup."""
     from ..model import ECRM, LRMOO
 
     classes = classes or [ECRM + "E21_Person", ECRM + "E53_Place",
                           LRMOO + "F2_Expression"]
+    from ..model import dedupe_triples
+
+    if not assume_distinct:
+        triples = dedupe_triples(triples)
     cmap = canonical_map(triples, classes, threshold).localCheckpoint(eager=True)
     n_cmap = cmap.count()
     if n_cmap == 0:

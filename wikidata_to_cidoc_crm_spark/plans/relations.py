@@ -145,252 +145,257 @@ def relations_stage(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="rel-plan")
+    # try/finally: reap worker threads if any plan build raises —
+    # otherwise in-flight builds keep running (and mutating the shared
+    # AQE toggle) after the stage has aborted, and the pool leaks
+    try:
 
-    # canonical build side for every label attach (see _attach_label) —
-    # the checkpoint pins the subtree so exchange reuse is structural
-    f_lab = pool.submit(lambda: _label_lookup(labels).select(
-        F.col("qid").alias("__lk"), F.col("_lbl").alias("__lv")
-    ).transform(lazy_checkpoint))
-    # gate the forced label broadcast on dimension size (shuffle-join
-    # fallback for fact-sized label tables); callers that already know the
-    # dimension size pass the flag to avoid a per-stage recount
-    lab_bcast = (labels.count() <= LABEL_BROADCAST_MAX
-                 if broadcast_labels is None else broadcast_labels)
+        # canonical build side for every label attach (see _attach_label) —
+        # the checkpoint pins the subtree so exchange reuse is structural
+        f_lab = pool.submit(lambda: _label_lookup(labels).select(
+            F.col("qid").alias("__lk"), F.col("_lbl").alias("__lv")
+        ).transform(lazy_checkpoint))
+        # gate the forced label broadcast on dimension size (shuffle-join
+        # fallback for fact-sized label tables); callers that already know the
+        # dimension size pass the flag to avoid a per-stage recount
+        lab_bcast = (labels.count() <= LABEL_BROADCAST_MAX
+                     if broadcast_labels is None else broadcast_labels)
 
-    def _attach(df, l, k, o):
-        return _attach_label(df, l, k, o, broadcast_hint=lab_bcast)
+        def _attach(df, l, k, o):
+            return _attach_label(df, l, k, o, broadcast_hint=lab_bcast)
 
-    W = work_qids.select("qid").distinct()
-    # canonical membership build side: every "∈ W" semi-join shares this
-    # exact subtree so the broadcast hash relation is built once and
-    # ReusedExchange serves the ~8 other sites (per-site renames would
-    # force a fresh single-threaded build each time)
-    Wb = W.select(F.col("qid").alias("__wq")).transform(lazy_checkpoint)
+        W = work_qids.select("qid").distinct()
+        # canonical membership build side: every "∈ W" semi-join shares this
+        # exact subtree so the broadcast hash relation is built once and
+        # ReusedExchange serves the ~8 other sites (per-site renames would
+        # force a fresh single-threaded build each time)
+        Wb = W.select(F.col("qid").alias("__wq")).transform(lazy_checkpoint)
 
-    def in_W(df: DataFrame, key: str) -> DataFrame:
-        return df.join(F.broadcast(Wb), F.col(key) == F.col("__wq"), "left_semi")
+        def in_W(df: DataFrame, key: str) -> DataFrame:
+            return df.join(F.broadcast(Wb), F.col(key) == F.col("__wq"), "left_semi")
 
-    def pids_of(bases: list[str]) -> DataFrame:
-        return property_closure.filter(F.col("base_pid").isin(bases)).select("pid").distinct()
+        def pids_of(bases: list[str]) -> DataFrame:
+            return property_closure.filter(F.col("base_pid").isin(bases)).select("pid").distinct()
 
-    def edges(bases: list[str]) -> DataFrame:
-        """(work, tgt) claims whose pid subsumes one of ``bases``, work ∈ W."""
-        return (
-            statements.join(F.broadcast(pids_of(bases)), "pid")
-            .filter(F.col("object_is_entity"))
-            .select(F.col("subject_qid").alias("work"), F.col("object_value").alias("tgt"))
-            .transform(lambda d: in_W(d, "work"))
-            .distinct()
-        )
+        def edges(bases: list[str]) -> DataFrame:
+            """(work, tgt) claims whose pid subsumes one of ``bases``, work ∈ W."""
+            return (
+                statements.join(F.broadcast(pids_of(bases)), "pid")
+                .filter(F.col("object_is_entity"))
+                .select(F.col("subject_qid").alias("work"), F.col("object_value").alias("tgt"))
+                .transform(lambda d: in_W(d, "work"))
+                .distinct()
+            )
 
-    def typed(ancestors: tuple[str, ...]) -> DataFrame:
-        """entities with P31/P279* reaching one of ``ancestors`` (J5)."""
+        def typed(ancestors: tuple[str, ...]) -> DataFrame:
+            """entities with P31/P279* reaching one of ``ancestors`` (J5)."""
+            p31 = statements.filter(F.col("pid") == "P31").select(
+                F.col("subject_qid").alias("tgt"), F.col("object_value").alias("cls"))
+            anc = subclass_closure.filter(F.col("ancestor").isin(list(ancestors))).select(
+                F.col("qid").alias("cls"))
+            return p31.join(F.broadcast(anc), "cls", "left_semi").select("tgt").distinct()
+
+        # --- ONE tagged edge table for all six families (single statements
+        # scan routed through a broadcast (pid → family) dim; type requirements
+        # via a broadcast (ancestor → family) dim). This collapses the six
+        # per-family pipelines into one qualify + one pair join + one
+        # first-partner window — far fewer jobs, and at scale one shuffle
+        # instead of six. ---
+        fam_bases = {f[0]: f[1] for f in FAMILIES}
+        fam_bases["character_typed"] = ["P180", "P921"]  # relations.py:700-707
+        pid_fam = None
+        for fam, bases in fam_bases.items():
+            part = pids_of(bases).withColumn("family", F.lit(fam))
+            pid_fam = part if pid_fam is None else pid_fam.unionByName(part)
+        typed_req = {
+            "plot": ["Q42109240"], "topic": ["Q26256810"], "person_ref": ["Q5"],
+            "place_ref": ["Q2221906"], "character_typed": ["Q3658341", "Q15632617"],
+        }
+        anc_fam = spark.createDataFrame(
+            [(a, f) for f, ancs in typed_req.items() for a in ancs],
+            "ancestor string, family string")
         p31 = statements.filter(F.col("pid") == "P31").select(
             F.col("subject_qid").alias("tgt"), F.col("object_value").alias("cls"))
-        anc = subclass_closure.filter(F.col("ancestor").isin(list(ancestors))).select(
-            F.col("qid").alias("cls"))
-        return p31.join(F.broadcast(anc), "cls", "left_semi").select("tgt").distinct()
-
-    # --- ONE tagged edge table for all six families (single statements
-    # scan routed through a broadcast (pid → family) dim; type requirements
-    # via a broadcast (ancestor → family) dim). This collapses the six
-    # per-family pipelines into one qualify + one pair join + one
-    # first-partner window — far fewer jobs, and at scale one shuffle
-    # instead of six. ---
-    fam_bases = {f[0]: f[1] for f in FAMILIES}
-    fam_bases["character_typed"] = ["P180", "P921"]  # relations.py:700-707
-    pid_fam = None
-    for fam, bases in fam_bases.items():
-        part = pids_of(bases).withColumn("family", F.lit(fam))
-        pid_fam = part if pid_fam is None else pid_fam.unionByName(part)
-    typed_req = {
-        "plot": ["Q42109240"], "topic": ["Q26256810"], "person_ref": ["Q5"],
-        "place_ref": ["Q2221906"], "character_typed": ["Q3658341", "Q15632617"],
-    }
-    anc_fam = spark.createDataFrame(
-        [(a, f) for f, ancs in typed_req.items() for a in ancs],
-        "ancestor string, family string")
-    p31 = statements.filter(F.col("pid") == "P31").select(
-        F.col("subject_qid").alias("tgt"), F.col("object_value").alias("cls"))
-    typed_pairs = (
-        p31.join(F.broadcast(subclass_closure.withColumnRenamed("qid", "cls")), "cls")
-        .join(F.broadcast(anc_fam), "ancestor")
-        .select("tgt", "family")
-        .distinct()
-    )
-    def _build_fw_chain():
-        """fw_all → qfw_all → all_pairs: the stage's longest dependent
-        checkpoint chain, built on one thread."""
-        fw_all0 = (
-            statements.filter(F.col("object_is_entity"))
-            .join(F.broadcast(pid_fam), "pid")
-            .select("family", F.col("subject_qid").alias("work"),
-                    F.col("object_value").alias("tgt"))
-            .transform(lambda d: in_W(d, "work"))
-        )
-        fw_typed = fw_all0.filter(F.col("family").isin(list(typed_req))).join(
-            typed_pairs, ["tgt", "family"], "left_semi")
-        fw_untyped = fw_all0.filter(F.col("family").isin(["motif", "character"]))
-        fw_all = (
-            fw_typed.unionByName(fw_untyped)
-            .withColumn("family",
-                        F.when(F.col("family") == "character_typed", "character")
-                        .otherwise(F.col("family")))
-            .distinct()
-            .transform(lazy_checkpoint)
-        )
-        # qualifying features: shared by ≥2 works (HAVING COUNT(DISTINCT
-        # ?wrk)>1, relations.py:371-372 / len(works)<2 guards)
-        q = (
-            fw_all.groupBy("family", "tgt").agg(F.countDistinct("work").alias("n"))
-            .filter(F.col("n") >= 2).select("family", "tgt")
-        )
-        qfw = fw_all.join(q, ["family", "tgt"], "left_semi").transform(lazy_checkpoint)
-        # --- pairs for all families at once (J8) ---
-        # hub features (> heavy_threshold works) go through the salted join
-        # so one popular topic cannot pin the whole stage on a single
-        # reducer: a key with n members generates C(n,2) pairs in ONE task
-        # otherwise (measured 3.4x stage speedup at world_scale=400 on
-        # local[32]). threshold 256 caps the unsalted per-key burst at ~32k.
-        pairs = pair_join(qfw, key=["family", "tgt"], work="work",
-                          salt_partitions=32, heavy_threshold=256) \
-            .transform(lazy_checkpoint)
-        return qfw, pairs
-
-    def _build_workref():
-        # work references (relations.py:616-669): tgt ∈ W too; no ≥2 gate
-        return (
-            edges(["P921"])
-            .filter(F.col("tgt").startswith("Q"))
-            .transform(lambda d: in_W(d, "tgt"))
-            .transform(lazy_checkpoint)
-        )
-
-    def _build_cite_kept():
-        # citations (relations.py:765-818): (tgt=subject) cites (src=object);
-        # both-directions dedup keeps lexicographically smaller (src, tgt)
-        cite_directed = (
-            edges(["P2860", "P6166"])
-            .transform(lambda d: in_W(d, "tgt"))
-            .select(F.col("tgt").alias("src"), F.col("work").alias("tgt"))
-            .filter(F.col("src") != F.col("tgt"))
-        )
-        return (
-            cite_directed.groupBy(
-                F.least("src", "tgt").alias("_a"), F.greatest("src", "tgt").alias("_b"))
-            .agg(F.min(F.struct("src", "tgt")).alias("_p"))
-            .select(F.col("_p.src").alias("src"), F.col("_p.tgt").alias("tgt"))
-            .transform(lazy_checkpoint)
-        )
-
-    f_fw = pool.submit(_build_fw_chain)
-    f_workref = pool.submit(_build_workref)
-    f_cite = pool.submit(_build_cite_kept)
-
-    # int31 direct links (relations.py:299-354): forward P4969; reversed
-    # P144/P5059/P941 (SURVEY §4.4.3)
-    int31_fwd = in_W(edges(["P4969"]), "tgt").select(F.col("work").alias("wa"), F.col("tgt").alias("wb"))
-    int31_bwd = in_W(edges(["P144", "P5059", "P941"]), "tgt").select(F.col("tgt").alias("wa"), F.col("work").alias("wb"))
-    int31_pairs = int31_fwd.unionByName(int31_bwd).filter(F.col("wa") != F.col("wb"))
-
-    qfw_all, all_pairs = f_fw.result()
-    workref = f_workref.result()
-    cite_kept = f_cite.result()
-    lab = f_lab.result()
-    fam_acts = first_partner(qfw_all, key=["family", "tgt"], work="work")
-
-    # workref pairs/acts: rel per (src, tgt); act key {tgt}_{src}
-    workref_pairs = workref.select(
-        F.col("tgt"), F.col("work").alias("src")).filter(F.col("src") != F.col("tgt"))
-
-    # --- relation nodes: every pair from every source (canonical, distinct) ---
-    rel_members = (
-        all_pairs.select("w1", "w2")
-        .unionByName(int31_pairs.select(F.col("wa").alias("w1"), F.col("wb").alias("w2")))
-        .unionByName(workref_pairs.select(F.col("src").alias("w1"), F.col("tgt").alias("w2")))
-        .unionByName(cite_kept.select(F.col("src").alias("w1"), F.col("tgt").alias("w2")))
-    )
-    def _build_rels():
-        r = (
-            rel_members.select(
-                F.least("w1", "w2").alias("w1"), F.greatest("w1", "w2").alias("w2"))
+        typed_pairs = (
+            p31.join(F.broadcast(subclass_closure.withColumnRenamed("qid", "cls")), "cls")
+            .join(F.broadcast(anc_fam), "ancestor")
+            .select("tgt", "family")
             .distinct()
         )
-        r = _attach(r, lab, "w1", "l1")
-        r = _attach(r, lab, "w2", "l2")
-        # casefold-sorted label pair (relations.py:284)
-        return r.withColumn(
-            "la", F.when(F.lower("l1") <= F.lower("l2"), F.col("l1")).otherwise(F.col("l2"))
-        ).withColumn(
-            "lb", F.when(F.lower("l1") <= F.lower("l2"), F.col("l2")).otherwise(F.col("l1"))
-        ).withColumn("rel", F.concat(F.lit(SAPPHO + "relation/"), "w1", F.lit("_"), "w2")
-        ).withColumn("tid", F.concat("w1", F.lit("_"), "w2")).transform(lazy_checkpoint)
+        def _build_fw_chain():
+            """fw_all → qfw_all → all_pairs: the stage's longest dependent
+            checkpoint chain, built on one thread."""
+            fw_all0 = (
+                statements.filter(F.col("object_is_entity"))
+                .join(F.broadcast(pid_fam), "pid")
+                .select("family", F.col("subject_qid").alias("work"),
+                        F.col("object_value").alias("tgt"))
+                .transform(lambda d: in_W(d, "work"))
+            )
+            fw_typed = fw_all0.filter(F.col("family").isin(list(typed_req))).join(
+                typed_pairs, ["tgt", "family"], "left_semi")
+            fw_untyped = fw_all0.filter(F.col("family").isin(["motif", "character"]))
+            fw_all = (
+                fw_typed.unionByName(fw_untyped)
+                .withColumn("family",
+                            F.when(F.col("family") == "character_typed", "character")
+                            .otherwise(F.col("family")))
+                .distinct()
+                .transform(lazy_checkpoint)
+            )
+            # qualifying features: shared by ≥2 works (HAVING COUNT(DISTINCT
+            # ?wrk)>1, relations.py:371-372 / len(works)<2 guards)
+            q = (
+                fw_all.groupBy("family", "tgt").agg(F.countDistinct("work").alias("n"))
+                .filter(F.col("n") >= 2).select("family", "tgt")
+            )
+            qfw = fw_all.join(q, ["family", "tgt"], "left_semi").transform(lazy_checkpoint)
+            # --- pairs for all families at once (J8) ---
+            # hub features (> heavy_threshold works) go through the salted join
+            # so one popular topic cannot pin the whole stage on a single
+            # reducer: a key with n members generates C(n,2) pairs in ONE task
+            # otherwise (measured 3.4x stage speedup at world_scale=400 on
+            # local[32]). threshold 256 caps the unsalted per-key burst at ~32k.
+            pairs = pair_join(qfw, key=["family", "tgt"], work="work",
+                              salt_partitions=32, heavy_threshold=256) \
+                .transform(lazy_checkpoint)
+            return qfw, pairs
 
-    f_rels = pool.submit(_build_rels)
+        def _build_workref():
+            # work references (relations.py:616-669): tgt ∈ W too; no ≥2 gate
+            return (
+                edges(["P921"])
+                .filter(F.col("tgt").startswith("Q"))
+                .transform(lambda d: in_W(d, "tgt"))
+                .transform(lazy_checkpoint)
+            )
 
-    # --- acts (family + workref); per-family label/priority as expressions ---
-    def _build_acts():
-        fa = _attach(fam_acts, lab, "tgt", "tlbl")
-        fa = _attach(fa, lab, "work", "wlbl")
-        prio_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[8]))])
-        is_ref_fam = F.col("family").isin(["person_ref", "place_ref"])
-        a = fa.select(
-            "tgt", "work", "rel_w1", "rel_w2", "tlbl", "wlbl", "family",
-            F.col("family").alias("typ"),
-            F.when(is_ref_fam, F.format_string("Reference to %s in %s", "tlbl", "wlbl"))
-            .otherwise(F.format_string("%s in %s", "tlbl", "wlbl")).alias("alabel"),
-            prio_map[F.col("family")].alias("prio"),
+        def _build_cite_kept():
+            # citations (relations.py:765-818): (tgt=subject) cites (src=object);
+            # both-directions dedup keeps lexicographically smaller (src, tgt)
+            cite_directed = (
+                edges(["P2860", "P6166"])
+                .transform(lambda d: in_W(d, "tgt"))
+                .select(F.col("tgt").alias("src"), F.col("work").alias("tgt"))
+                .filter(F.col("src") != F.col("tgt"))
+            )
+            return (
+                cite_directed.groupBy(
+                    F.least("src", "tgt").alias("_a"), F.greatest("src", "tgt").alias("_b"))
+                .agg(F.min(F.struct("src", "tgt")).alias("_p"))
+                .select(F.col("_p.src").alias("src"), F.col("_p.tgt").alias("tgt"))
+                .transform(lazy_checkpoint)
+            )
+
+        f_fw = pool.submit(_build_fw_chain)
+        f_workref = pool.submit(_build_workref)
+        f_cite = pool.submit(_build_cite_kept)
+
+        # int31 direct links (relations.py:299-354): forward P4969; reversed
+        # P144/P5059/P941 (SURVEY §4.4.3)
+        int31_fwd = in_W(edges(["P4969"]), "tgt").select(F.col("work").alias("wa"), F.col("tgt").alias("wb"))
+        int31_bwd = in_W(edges(["P144", "P5059", "P941"]), "tgt").select(F.col("tgt").alias("wa"), F.col("work").alias("wb"))
+        int31_pairs = int31_fwd.unionByName(int31_bwd).filter(F.col("wa") != F.col("wb"))
+
+        qfw_all, all_pairs = f_fw.result()
+        workref = f_workref.result()
+        cite_kept = f_cite.result()
+        lab = f_lab.result()
+        fam_acts = first_partner(qfw_all, key=["family", "tgt"], work="work")
+
+        # workref pairs/acts: rel per (src, tgt); act key {tgt}_{src}
+        workref_pairs = workref.select(
+            F.col("tgt"), F.col("work").alias("src")).filter(F.col("src") != F.col("tgt"))
+
+        # --- relation nodes: every pair from every source (canonical, distinct) ---
+        rel_members = (
+            all_pairs.select("w1", "w2")
+            .unionByName(int31_pairs.select(F.col("wa").alias("w1"), F.col("wb").alias("w2")))
+            .unionByName(workref_pairs.select(F.col("src").alias("w1"), F.col("tgt").alias("w2")))
+            .unionByName(cite_kept.select(F.col("src").alias("w1"), F.col("tgt").alias("w2")))
         )
-        workref_acts = _attach(workref_pairs, lab, "tgt", "tlbl")
-        workref_acts = _attach(workref_acts, lab, "src", "wlbl")
-        workref_acts = workref_acts.select(
-            "tgt", F.col("src").alias("work"),
-            F.least("src", "tgt").alias("rel_w1"), F.greatest("src", "tgt").alias("rel_w2"),
-            "tlbl", "wlbl",
-            F.lit("work_ref").alias("family"), F.lit("work_ref").alias("typ"),
-            F.format_string("Reference to %s in %s", "tlbl", "wlbl").alias("alabel"),
-            F.lit(9).alias("prio"),
+        def _build_rels():
+            r = (
+                rel_members.select(
+                    F.least("w1", "w2").alias("w1"), F.greatest("w1", "w2").alias("w2"))
+                .distinct()
+            )
+            r = _attach(r, lab, "w1", "l1")
+            r = _attach(r, lab, "w2", "l2")
+            # casefold-sorted label pair (relations.py:284)
+            return r.withColumn(
+                "la", F.when(F.lower("l1") <= F.lower("l2"), F.col("l1")).otherwise(F.col("l2"))
+            ).withColumn(
+                "lb", F.when(F.lower("l1") <= F.lower("l2"), F.col("l2")).otherwise(F.col("l1"))
+            ).withColumn("rel", F.concat(F.lit(SAPPHO + "relation/"), "w1", F.lit("_"), "w2")
+            ).withColumn("tid", F.concat("w1", F.lit("_"), "w2")).transform(lazy_checkpoint)
+
+        f_rels = pool.submit(_build_rels)
+
+        # --- acts (family + workref); per-family label/priority as expressions ---
+        def _build_acts():
+            fa = _attach(fam_acts, lab, "tgt", "tlbl")
+            fa = _attach(fa, lab, "work", "wlbl")
+            prio_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[8]))])
+            is_ref_fam = F.col("family").isin(["person_ref", "place_ref"])
+            a = fa.select(
+                "tgt", "work", "rel_w1", "rel_w2", "tlbl", "wlbl", "family",
+                F.col("family").alias("typ"),
+                F.when(is_ref_fam, F.format_string("Reference to %s in %s", "tlbl", "wlbl"))
+                .otherwise(F.format_string("%s in %s", "tlbl", "wlbl")).alias("alabel"),
+                prio_map[F.col("family")].alias("prio"),
+            )
+            workref_acts = _attach(workref_pairs, lab, "tgt", "tlbl")
+            workref_acts = _attach(workref_acts, lab, "src", "wlbl")
+            workref_acts = workref_acts.select(
+                "tgt", F.col("src").alias("work"),
+                F.least("src", "tgt").alias("rel_w1"), F.greatest("src", "tgt").alias("rel_w2"),
+                "tlbl", "wlbl",
+                F.lit("work_ref").alias("family"), F.lit("work_ref").alias("typ"),
+                F.format_string("Reference to %s in %s", "tlbl", "wlbl").alias("alabel"),
+                F.lit(9).alias("prio"),
+            )
+            a = a.unionByName(workref_acts)
+            return a.withColumn(
+                "act", F.concat(F.lit(SAPPHO + "actualization/"), "typ", F.lit("/"),
+                                "tgt", F.lit("_"), "work")
+            ).withColumn(
+                "feat_uri",
+                F.concat(F.lit(SAPPHO + "feature/"), "typ", F.lit("/"), "tgt"),
+            ).withColumn(
+                "rel", F.concat(F.lit(SAPPHO + "relation/"), "rel_w1", F.lit("_"), "rel_w2")
+            ).withColumn("expr", mint("expression", "work")).transform(lazy_checkpoint)
+
+        f_acts = pool.submit(_build_acts)
+
+        rels = f_rels.result()
+
+        rel_label = F.format_string("Intertextual relation between %s and %s", "la", "lb")
+        rel_triples = emit_triples(rels, [
+            Rule(F.col("rel"), RDF_TYPE, INTRO + "INT31_IntertextualRelation",
+                 ref="relations.py:286"),
+            Rule(F.col("rel"), RDFS_LABEL, rel_label, obj_is_iri=False, lang="en",
+                 ref="relations.py:287-289"),
+        ])
+
+        # --- interpretations ---
+        # creation candidates carry a priority; per tid the lowest priority wins
+        # (rdflib first-writer-wins guard, relations.py:206-233)
+        interp_feat = F.concat(F.lit(SAPPHO + "feature/interpretation/"), F.col("tid"))
+        interp_act = F.concat(F.lit(SAPPHO + "actualization/interpretation/"), F.col("tid"))
+
+        rel_interp_src = rels.select(
+            "tid",
+            F.format_string("Interpretation of intertextual relation between %s and %s",
+                            "la", "lb").alias("ilabel"),
+            F.array("w1", "w2").alias("derived"),
+            F.col("rel").alias("target"),
+            F.lit(0).alias("prio"),
         )
-        a = a.unionByName(workref_acts)
-        return a.withColumn(
-            "act", F.concat(F.lit(SAPPHO + "actualization/"), "typ", F.lit("/"),
-                            "tgt", F.lit("_"), "work")
-        ).withColumn(
-            "feat_uri",
-            F.concat(F.lit(SAPPHO + "feature/"), "typ", F.lit("/"), "tgt"),
-        ).withColumn(
-            "rel", F.concat(F.lit(SAPPHO + "relation/"), "rel_w1", F.lit("_"), "rel_w2")
-        ).withColumn("expr", mint("expression", "work")).transform(lazy_checkpoint)
 
-    f_acts = pool.submit(_build_acts)
-
-    rels = f_rels.result()
-
-    rel_label = F.format_string("Intertextual relation between %s and %s", "la", "lb")
-    rel_triples = emit_triples(rels, [
-        Rule(F.col("rel"), RDF_TYPE, INTRO + "INT31_IntertextualRelation",
-             ref="relations.py:286"),
-        Rule(F.col("rel"), RDFS_LABEL, rel_label, obj_is_iri=False, lang="en",
-             ref="relations.py:287-289"),
-    ])
-
-    # --- interpretations ---
-    # creation candidates carry a priority; per tid the lowest priority wins
-    # (rdflib first-writer-wins guard, relations.py:206-233)
-    interp_feat = F.concat(F.lit(SAPPHO + "feature/interpretation/"), F.col("tid"))
-    interp_act = F.concat(F.lit(SAPPHO + "actualization/interpretation/"), F.col("tid"))
-
-    rel_interp_src = rels.select(
-        "tid",
-        F.format_string("Interpretation of intertextual relation between %s and %s",
-                        "la", "lb").alias("ilabel"),
-        F.array("w1", "w2").alias("derived"),
-        F.col("rel").alias("target"),
-        F.lit(0).alias("prio"),
-    )
-
-    acts = f_acts.result()
-    pool.shutdown(wait=True)
+        acts = f_acts.result()
+    finally:
+        pool.shutdown(wait=True, cancel_futures=True)
 
     act_triples = emit_triples(acts, [
         Rule(F.col("act"), RDF_TYPE, INTRO + "INT2_ActualizationOfFeature",

@@ -64,12 +64,23 @@ def get_spark(
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.constraintPropagation.enabled", "false")
     )
-    # shuffle/spill scratch on tmpfs when available: on this single-box
-    # sandbox all executors share ONE virtio disk, which a real cluster
-    # scales per-node — measured at ws800/local-cluster[4,4] the shared
-    # disk cost ~15% of 4x4 wall (210.1s best-of-5 on disk vs 180.2s on
-    # tmpfs). SPARK_LOCAL_DIRS / spark.local.dir still override.
-    if "SPARK_LOCAL_DIRS" not in os.environ and os.access("/dev/shm", os.W_OK):
+    # Shuffle/spill scratch on tmpfs — EXPLICIT OPT-IN via
+    # SPARK_GRAFT_TMPFS_SCRATCH=1 (the sandbox bench harnesses set it; see
+    # BENCH/BASELINE.md). On this single-box sandbox all executors share
+    # ONE virtio disk, which a real cluster scales per-node — measured at
+    # ws800/local-cluster[4,4] the shared disk cost ~15% of 4x4 wall
+    # (210.1s best-of-5 on disk vs 180.2s on tmpfs). It is NOT a general
+    # default: /dev/shm is RAM-backed and typically capped at half of
+    # physical memory, so any shuffle larger than that ceiling fails with
+    # ENOSPC and spill-to-disk no longer relieves memory pressure. Never
+    # applied when the deployment already configured scratch space
+    # (SPARK_LOCAL_DIRS env or spark.local.dir via extra_conf).
+    if (
+        os.environ.get("SPARK_GRAFT_TMPFS_SCRATCH") == "1"
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and "spark.local.dir" not in (extra_conf or {})
+        and os.access("/dev/shm", os.W_OK)
+    ):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
     if master and master.startswith("local-cluster"):
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -88,8 +99,11 @@ def get_spark(
 
 
 _aqe_toggle_lock = threading.Lock()
-_aqe_depth = 0
-_aqe_prev = "true"
+# per-SparkSession {session: [depth, prev]} — a process-wide counter would
+# key the toggle to the FIRST caller's session, so a second session's
+# checkpoints would silently stay eager (the bug this helper exists to fix)
+# and the restore would write to the wrong session
+_aqe_state: dict = {}
 
 
 def lazy_checkpoint(df: DataFrame) -> DataFrame:
@@ -108,8 +122,10 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
     The checkpointed subtree's eventual execution is therefore non-AQE:
     acceptable here because every skew-prone spot has an explicit handler
     (salted pair join, full-key merge dedup, static shuffle sizing — see
-    BENCH/SKEW.md) rather than relying on AQE. The session-global conf
-    toggle is serialized under a lock; concurrent plan-building threads in
+    BENCH/SKEW.md) rather than relying on AQE. The conf toggle is tracked
+    PER SparkSession (depth + saved value keyed by the session object), so
+    interleaved checkpoints from two sessions each get their own AQE-off
+    window; it is serialized under a lock, and concurrent plan-building threads in
     run_pipeline only ever compile checkpoint subtrees or trivial counts,
     so a stray non-AQE compile is harmless.
 
@@ -120,20 +136,22 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
     inside the window (JVM-side Catalyst planning of distinct queries is
     thread-safe).
     """
-    global _aqe_depth, _aqe_prev
     spark = df.sparkSession
     with _aqe_toggle_lock:
-        if _aqe_depth == 0:
-            _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        state = _aqe_state.get(spark)
+        if state is None:
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
-        _aqe_depth += 1
+            state = _aqe_state[spark] = [0, prev]
+        state[0] += 1
     try:
         return df.localCheckpoint(eager=False)
     finally:
         with _aqe_toggle_lock:
-            _aqe_depth -= 1
-            if _aqe_depth == 0:
-                spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+            state[0] -= 1
+            if state[0] == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", state[1])
+                del _aqe_state[spark]
 
 
 def stop_spark() -> None:
