@@ -54,6 +54,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # broadcast builds sit downstream of lazily-checkpointed subtrees,
+        # so the first action may compute a long upstream chain inside the
+        # broadcast future — at low parallelism that legitimately exceeds
+        # the 300 s default and kills the job ("broadcast query has
+        # failed"); the dimension relations themselves are small, only
+        # their first materialization is slow
+        .config("spark.sql.broadcastTimeout", "3600")
         # driver-side plan-construction cost levers (measured on the
         # relations stage build, tools/plan_cost_experiment.py):
         # dataFrameDebugging (static conf) gates a per-DataFrame-call
