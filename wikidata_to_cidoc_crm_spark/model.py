@@ -171,10 +171,18 @@ def dedupe_triples(df: DataFrame) -> DataFrame:
     return df.dropDuplicates(TRIPLE_KEY)
 
 
-def triples_to_python_set(df: DataFrame) -> set[tuple]:
+def triples_to_python_set(df: DataFrame, max_rows: int = 1_000_000) -> set[tuple]:
     """Test-scale helper: collect to a comparable set of 6-tuples
     ``(subj, pred, obj, lang, dtype, obj_is_iri)`` — the IRI/literal flag is
-    part of term identity, so golden comparisons catch IRI-vs-literal drift."""
+    part of term identity, so golden comparisons catch IRI-vs-literal drift.
+
+    Guarded like linking.py's surface collect: a misrouted production-scale
+    graph must fail loudly here instead of OOMing the driver."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"triples_to_python_set: refusing to collect {n} rows "
+            f"(> {max_rows}); this helper is for test-scale graphs only")
     return {
         (r["subj"], r["pred"], r["obj"], r["lang"], r["dtype"], bool(r["obj_is_iri"]))
         for r in df.select("subj", "pred", "obj", "lang", "dtype", "obj_is_iri").collect()

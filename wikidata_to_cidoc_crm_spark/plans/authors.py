@@ -236,6 +236,15 @@ def authors_stage(
     dedupe: bool = True,
     broadcast_labels: bool | None = None,
 ) -> DataFrame:
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SQL_STAGES", "1") != "0":
+        from .sql_stages import authors_stage_sql
+
+        return authors_stage_sql(
+            spark, person_qids, statements, labels,
+            include_header=include_header, dedupe=dedupe,
+            broadcast_labels=broadcast_labels)
     wide = wide_authors(person_qids, statements, labels, broadcast_labels)
     triples = emit_triples(wide, author_rules())
     if include_header:

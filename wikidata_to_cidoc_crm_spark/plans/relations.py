@@ -125,6 +125,204 @@ def _identifier_rules(entity, qid_col: str) -> list[Rule]:
     ]
 
 
+# --- shared emission rule tables (used by BOTH the classic DataFrame build
+# below and the SQL-compiled build in plans/sql_stages.py — single source of
+# truth so the two paths cannot drift) ---
+
+def rel_rules() -> list[Rule]:
+    rel_label = F.format_string(
+        "Intertextual relation between %s and %s", "la", "lb")
+    return [
+        Rule(F.col("rel"), RDF_TYPE, INTRO + "INT31_IntertextualRelation",
+             ref="relations.py:286"),
+        Rule(F.col("rel"), RDFS_LABEL, rel_label, obj_is_iri=False, lang="en",
+             ref="relations.py:287-289"),
+    ]
+
+
+def act_rules() -> list[Rule]:
+    return [
+        Rule(F.col("act"), RDF_TYPE, INTRO + "INT2_ActualizationOfFeature",
+             ref="relations.py:246"),
+        Rule(F.col("act"), RDFS_LABEL, F.col("alabel"), obj_is_iri=False,
+             lang="en", ref="relations.py:247"),
+        Rule(F.col("feat_uri"), INTRO + "R17i_featureIsActualizedIn", F.col("act"),
+             ref="relations.py:249"),
+        Rule(F.col("act"), INTRO + "R17_actualizesFeature", F.col("feat_uri"),
+             ref="relations.py:250"),
+        Rule(F.col("act"), INTRO + "R18i_actualizationFoundOn", F.col("expr"),
+             ref="relations.py:252"),
+        Rule(F.col("expr"), INTRO + "R18_showsActualization", F.col("act"),
+             ref="relations.py:253"),
+        # first-pair-wins R24 links (relations.py:255-258)
+        Rule(F.col("act"), INTRO + "R24i_isRelatedEntity", F.col("rel"),
+             ref="relations.py:255"),
+        Rule(F.col("rel"), INTRO + "R24_hasRelatedEntity", F.col("act"),
+             ref="relations.py:256"),
+        Rule(F.col("expr"), INTRO + "R24i_isRelatedEntity", F.col("rel"),
+             ref="relations.py:257"),
+        Rule(F.col("rel"), INTRO + "R24_hasRelatedEntity", F.col("expr"),
+             ref="relations.py:258"),
+    ]
+
+
+def _interp_cols():
+    interp_feat = F.concat(F.lit(SAPPHO + "feature/interpretation/"), F.col("tid"))
+    interp_act = F.concat(F.lit(SAPPHO + "actualization/interpretation/"), F.col("tid"))
+    return interp_feat, interp_act
+
+
+def interp_creation_rules() -> list[Rule]:
+    interp_feat, interp_act = _interp_cols()
+    return [
+        Rule(interp_feat, RDF_TYPE, INTRO + "INT_Interpretation",
+             ref="relations.py:210"),
+        Rule(interp_feat, RDFS_LABEL, F.col("ilabel"), obj_is_iri=False,
+             lang="en", ref="relations.py:211"),
+        Rule(interp_act, RDF_TYPE, INTRO + "INT2_ActualizationOfFeature",
+             ref="relations.py:214"),
+        Rule(interp_act, RDFS_LABEL, F.col("ilabel"), obj_is_iri=False,
+             lang="en", ref="relations.py:215"),
+        Rule(interp_feat, INTRO + "R17i_featureIsActualizedIn", interp_act,
+             ref="relations.py:224"),
+        Rule(interp_act, INTRO + "R17_actualizesFeature", interp_feat,
+             ref="relations.py:225"),
+    ]
+
+
+def interp_derived_rules() -> list[Rule]:
+    _, interp_act = _interp_cols()
+    return [Rule(interp_act, PROV_DERIVED, wd_entity_uri("dq"),
+                 ref="relations.py:219-221")]
+
+
+def interp_links_rules() -> list[Rule]:
+    _, interp_act = _interp_cols()
+    return [
+        Rule(interp_act, INTRO + "R21_identifies", F.col("target"),
+             ref="relations.py:227"),
+        Rule(F.col("target"), INTRO + "R21i_isIdentifiedBy", interp_act,
+             ref="relations.py:228"),
+    ]
+
+
+def r22_rules() -> list[Rule]:
+    return [
+        Rule(F.col("feat_uri"), INTRO + "R22_providesSimilarityForRelation",
+             F.col("rel"), ref="relations.py:396-398"),
+        Rule(F.col("rel"), INTRO + "R22i_relationIsBasedOnSimilarity",
+             F.col("feat_uri"), ref="relations.py:396-398"),
+    ]
+
+
+def p67_rules() -> list[Rule]:
+    return [
+        Rule(F.col("act"), ECRM + "P67_refers_to", F.col("p67_target"),
+             ref="relations.py:552-558"),
+        Rule(F.col("p67_target"), ECRM + "P67i_is_referred_to_by", F.col("act"),
+             ref="relations.py:552-558"),
+    ]
+
+
+def feat_node_rules() -> list[Rule]:
+    cls_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[4]))])
+    flabel_col = (
+        F.when(F.col("family") == "plot", F.format_string("%s (plot)", "tlbl"))
+        .when(F.col("family") == "topic", F.format_string("%s (topic)", "tlbl"))
+        .when(F.col("family") == "motif", F.format_string("%s (motif)", "tlbl"))
+        .when(F.col("family") == "person_ref",
+              F.format_string("Reference to %s (person)", "tlbl"))
+        .when(F.col("family") == "place_ref",
+              F.format_string("Reference to %s (place)", "tlbl"))
+        .otherwise(F.col("tlbl"))  # character (no suffix, relations.py:737)
+    )
+    is_entity_feat = F.col("family").isin(["plot", "topic", "motif", "character"])
+    return [
+        Rule(F.col("feat_uri"), RDF_TYPE, cls_map[F.col("family")],
+             ref="relations.py:182-203"),
+        Rule(F.col("feat_uri"), RDFS_LABEL, flabel_col,
+             obj_is_iri=False, lang="en", ref="relations.py:182-203"),
+        Rule(F.col("feat_uri"), OWL_SAMEAS, wd_entity_uri("tgt"),
+             cond=is_entity_feat, ref="relations.py:196-198"),
+    ] + [
+        Rule(r.subj, r.pred, r.obj, obj_is_iri=r.obj_is_iri, lang=r.lang,
+             dtype=r.dtype, cond=is_entity_feat, ref=r.ref)
+        for r in _identifier_rules(F.col("feat_uri"), "tgt")
+    ]
+
+
+def person_node_rules() -> list[Rule]:
+    return [
+        Rule(mint("person", "tgt"), RDF_TYPE, ECRM + "E21_Person",
+             ref="relations.py:530-537"),
+        Rule(mint("person", "tgt"), RDFS_LABEL, F.col("tlbl"), obj_is_iri=False,
+             lang="en", ref="relations.py:531"),
+        Rule(mint("person", "tgt"), OWL_SAMEAS, wd_entity_uri("tgt"),
+             ref="relations.py:532"),
+    ] + _identifier_rules(mint("person", "tgt"), "tgt")
+
+
+def charp_feat_rules() -> list[Rule]:
+    return [
+        Rule(F.concat(F.lit(SAPPHO + "feature/person_ref/"), "tgt"), RDF_TYPE,
+             INTRO + "INT18_Reference", ref="relations.py:681-683"),
+        Rule(F.concat(F.lit(SAPPHO + "feature/person_ref/"), "tgt"), RDFS_LABEL,
+             F.format_string("Reference to %s (person)", "tlbl"),
+             obj_is_iri=False, lang="en", ref="relations.py:683"),
+    ]
+
+
+def place_node_rules() -> list[Rule]:
+    return [
+        Rule(mint("place", "tgt"), RDF_TYPE, ECRM + "E53_Place",
+             ref="relations.py:584-591"),
+        Rule(mint("place", "tgt"), RDFS_LABEL, F.col("tlbl"), obj_is_iri=False,
+             lang="en", ref="relations.py:585"),
+        Rule(mint("place", "tgt"), OWL_SAMEAS, wd_entity_uri("tgt"),
+             ref="relations.py:586"),
+    ] + _identifier_rules(mint("place", "tgt"), "tgt")
+
+
+def workref_feat_rules() -> list[Rule]:
+    return [
+        Rule(F.concat(F.lit(SAPPHO + "feature/work_ref/"), "tgt"), RDF_TYPE,
+             INTRO + "INT18_Reference", ref="relations.py:641-644"),
+        Rule(F.concat(F.lit(SAPPHO + "feature/work_ref/"), "tgt"), RDFS_LABEL,
+             F.format_string("Reference to %s (expression)", "tlbl"),
+             obj_is_iri=False, lang="en", ref="relations.py:644"),
+    ]
+
+
+def expr_rules() -> list[Rule]:
+    return [
+        Rule(mint("expression", "q"), RDF_TYPE, LRMOO + "F2_Expression",
+             ref="relations.py:184"),
+        Rule(mint("expression", "q"), RDFS_LABEL,
+             F.format_string("Expression of %s", "qlbl"), obj_is_iri=False,
+             lang="en", ref="relations.py:185"),
+        Rule(mint("expression", "q"), OWL_SAMEAS, wd_entity_uri("q"),
+             ref="relations.py:186"),
+    ]
+
+
+def tp_rules() -> list[Rule]:
+    rules: list[Rule] = []
+    for host, other, hl in [("tgt", "src", "tlbl"), ("src", "tgt", "slbl")]:
+        tp = F.concat(F.lit(SAPPHO + "textpassage/"), F.col(host), F.lit("_"), F.col(other))
+        host_expr = mint("expression", host)
+        rules += [
+            Rule(tp, RDF_TYPE, INTRO + "INT21_TextPassage", ref="relations.py:801"),
+            Rule(tp, RDFS_LABEL, F.format_string("Text passage in %s", hl),
+                 obj_is_iri=False, lang="en", ref="relations.py:802"),
+            Rule(tp, PROV_DERIVED, wd_entity_uri("tgt"), ref="relations.py:803"),
+            Rule(host_expr, INTRO + "R30_hasTextPassage", tp, ref="relations.py:805"),
+            Rule(tp, INTRO + "R30i_isTextPassageOf", host_expr, ref="relations.py:806"),
+            Rule(F.col("rel"), INTRO + "R24_hasRelatedEntity", tp, ref="relations.py:807"),
+            Rule(tp, INTRO + "R24i_isRelatedEntity", F.col("rel"), ref="relations.py:808"),
+        ]
+    return rules
+
+
 def relations_stage(
     spark: SparkSession,
     work_qids: DataFrame,
@@ -136,6 +334,15 @@ def relations_stage(
     dedupe: bool = True,
     broadcast_labels: bool | None = None,
 ) -> DataFrame:
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SQL_STAGES", "1") != "0":
+        from .sql_stages import relations_stage_sql
+
+        return relations_stage_sql(
+            spark, work_qids, statements, labels, subclass_closure,
+            property_closure, include_header=include_header, dedupe=dedupe,
+            broadcast_labels=broadcast_labels)
     # Driver-side plan construction is this stage's dominant fixed cost
     # (~10 checkpoint plannings + py4j traffic), so the independent
     # checkpointed subplans are built from a small thread pool — JVM-side
@@ -370,20 +577,11 @@ def relations_stage(
 
         rels = f_rels.result()
 
-        rel_label = F.format_string("Intertextual relation between %s and %s", "la", "lb")
-        rel_triples = emit_triples(rels, [
-            Rule(F.col("rel"), RDF_TYPE, INTRO + "INT31_IntertextualRelation",
-                 ref="relations.py:286"),
-            Rule(F.col("rel"), RDFS_LABEL, rel_label, obj_is_iri=False, lang="en",
-                 ref="relations.py:287-289"),
-        ])
+        rel_triples = emit_triples(rels, rel_rules())
 
         # --- interpretations ---
         # creation candidates carry a priority; per tid the lowest priority wins
         # (rdflib first-writer-wins guard, relations.py:206-233)
-        interp_feat = F.concat(F.lit(SAPPHO + "feature/interpretation/"), F.col("tid"))
-        interp_act = F.concat(F.lit(SAPPHO + "actualization/interpretation/"), F.col("tid"))
-
         rel_interp_src = rels.select(
             "tid",
             F.format_string("Interpretation of intertextual relation between %s and %s",
@@ -397,29 +595,7 @@ def relations_stage(
     finally:
         pool.shutdown(wait=True, cancel_futures=True)
 
-    act_triples = emit_triples(acts, [
-        Rule(F.col("act"), RDF_TYPE, INTRO + "INT2_ActualizationOfFeature",
-             ref="relations.py:246"),
-        Rule(F.col("act"), RDFS_LABEL, F.col("alabel"), obj_is_iri=False,
-             lang="en", ref="relations.py:247"),
-        Rule(F.col("feat_uri"), INTRO + "R17i_featureIsActualizedIn", F.col("act"),
-             ref="relations.py:249"),
-        Rule(F.col("act"), INTRO + "R17_actualizesFeature", F.col("feat_uri"),
-             ref="relations.py:250"),
-        Rule(F.col("act"), INTRO + "R18i_actualizationFoundOn", F.col("expr"),
-             ref="relations.py:252"),
-        Rule(F.col("expr"), INTRO + "R18_showsActualization", F.col("act"),
-             ref="relations.py:253"),
-        # first-pair-wins R24 links (relations.py:255-258)
-        Rule(F.col("act"), INTRO + "R24i_isRelatedEntity", F.col("rel"),
-             ref="relations.py:255"),
-        Rule(F.col("rel"), INTRO + "R24_hasRelatedEntity", F.col("act"),
-             ref="relations.py:256"),
-        Rule(F.col("expr"), INTRO + "R24i_isRelatedEntity", F.col("rel"),
-             ref="relations.py:257"),
-        Rule(F.col("rel"), INTRO + "R24_hasRelatedEntity", F.col("expr"),
-             ref="relations.py:258"),
-    ])
+    act_triples = emit_triples(acts, act_rules())
 
     # act interpretations (add_interpretation via add_actualization,
     # relations.py:260-273)
@@ -440,30 +616,12 @@ def relations_stage(
     interp_all = interp_all.withColumn("rank", F.row_number().over(wnd)).transform(lazy_checkpoint)
     creators = interp_all.filter(F.col("rank") == 1)
 
-    interp_creation = emit_triples(creators, [
-        Rule(interp_feat, RDF_TYPE, INTRO + "INT_Interpretation",
-             ref="relations.py:210"),
-        Rule(interp_feat, RDFS_LABEL, F.col("ilabel"), obj_is_iri=False,
-             lang="en", ref="relations.py:211"),
-        Rule(interp_act, RDF_TYPE, INTRO + "INT2_ActualizationOfFeature",
-             ref="relations.py:214"),
-        Rule(interp_act, RDFS_LABEL, F.col("ilabel"), obj_is_iri=False,
-             lang="en", ref="relations.py:215"),
-        Rule(interp_feat, INTRO + "R17i_featureIsActualizedIn", interp_act,
-             ref="relations.py:224"),
-        Rule(interp_act, INTRO + "R17_actualizesFeature", interp_feat,
-             ref="relations.py:225"),
-    ])
+    interp_creation = emit_triples(creators, interp_creation_rules())
     interp_derived = emit_triples(
         creators.select("tid", F.explode("derived").alias("dq")),
-        [Rule(interp_act, PROV_DERIVED, wd_entity_uri("dq"), ref="relations.py:219-221")],
+        interp_derived_rules(),
     )
-    interp_links = emit_triples(interp_all, [
-        Rule(interp_act, INTRO + "R21_identifies", F.col("target"),
-             ref="relations.py:227"),
-        Rule(F.col("target"), INTRO + "R21i_isIdentifiedBy", interp_act,
-             ref="relations.py:228"),
-    ])
+    interp_links = emit_triples(interp_all, interp_links_rules())
 
     # --- R22 similarity links: per (feature, pair) for ALL pairs
     # (relations.py:396-398) ---
@@ -478,12 +636,7 @@ def relations_stage(
     )
     r22 = r22_fam.unionByName(r22_workref).withColumn(
         "rel", F.concat(F.lit(SAPPHO + "relation/"), "w1", F.lit("_"), "w2"))
-    r22_triples = emit_triples(r22, [
-        Rule(F.col("feat_uri"), INTRO + "R22_providesSimilarityForRelation",
-             F.col("rel"), ref="relations.py:396-398"),
-        Rule(F.col("rel"), INTRO + "R22i_relationIsBasedOnSimilarity",
-             F.col("feat_uri"), ref="relations.py:396-398"),
-    ])
+    r22_triples = emit_triples(r22, r22_rules())
 
     # --- P67 reference links: per act (relations.py:552-558,605-611,
     # 754-758, 667-668) ---
@@ -503,42 +656,14 @@ def relations_stage(
     workref_p67 = acts.filter(F.col("family") == "work_ref").withColumn(
         "p67_target", mint("expression", "tgt"))
     p67_all = p67.unionByName(char_p67).unionByName(workref_p67)
-    p67_triples = emit_triples(p67_all, [
-        Rule(F.col("act"), ECRM + "P67_refers_to", F.col("p67_target"),
-             ref="relations.py:552-558"),
-        Rule(F.col("p67_target"), ECRM + "P67i_is_referred_to_by", F.col("act"),
-             ref="relations.py:552-558"),
-    ])
+    p67_triples = emit_triples(p67_all, p67_rules())
 
     # --- feature nodes: one emission over the tagged (family, tgt) set ---
     feat_triple_parts = []
     ftgts = qfw_all.select("family", "tgt").distinct()
     ftgts = _attach(ftgts, lab, "tgt", "tlbl").withColumn(
         "feat_uri", F.concat(F.lit(SAPPHO + "feature/"), "family", F.lit("/"), "tgt"))
-    cls_map = F.create_map(*[x for f in FAMILIES for x in (F.lit(f[0]), F.lit(f[4]))])
-    flabel_col = (
-        F.when(F.col("family") == "plot", F.format_string("%s (plot)", "tlbl"))
-        .when(F.col("family") == "topic", F.format_string("%s (topic)", "tlbl"))
-        .when(F.col("family") == "motif", F.format_string("%s (motif)", "tlbl"))
-        .when(F.col("family") == "person_ref",
-              F.format_string("Reference to %s (person)", "tlbl"))
-        .when(F.col("family") == "place_ref",
-              F.format_string("Reference to %s (place)", "tlbl"))
-        .otherwise(F.col("tlbl"))  # character (no suffix, relations.py:737)
-    )
-    is_entity_feat = F.col("family").isin(["plot", "topic", "motif", "character"])
-    feat_triple_parts.append(emit_triples(ftgts, [
-        Rule(F.col("feat_uri"), RDF_TYPE, cls_map[F.col("family")],
-             ref="relations.py:182-203"),
-        Rule(F.col("feat_uri"), RDFS_LABEL, flabel_col,
-             obj_is_iri=False, lang="en", ref="relations.py:182-203"),
-        Rule(F.col("feat_uri"), OWL_SAMEAS, wd_entity_uri("tgt"),
-             cond=is_entity_feat, ref="relations.py:196-198"),
-    ] + [
-        Rule(r.subj, r.pred, r.obj, obj_is_iri=r.obj_is_iri, lang=r.lang,
-             dtype=r.dtype, cond=is_entity_feat, ref=r.ref)
-        for r in _identifier_rules(F.col("feat_uri"), "tgt")
-    ]))
+    feat_triple_parts.append(emit_triples(ftgts, feat_node_rules()))
 
     # person/place entity nodes for the *_ref families (relations.py:528-537,
     # 582-591) + person nodes & person_ref features for person-characters
@@ -549,45 +674,19 @@ def relations_stage(
         char_persons, F.col("tgt") == F.col("cq"), "left_semi")
     person_nodes = person_tgts.unionByName(char_person_tgts).distinct()
     person_nodes = _attach(person_nodes, lab, "tgt", "tlbl")
-    feat_triple_parts.append(emit_triples(person_nodes, [
-        Rule(mint("person", "tgt"), RDF_TYPE, ECRM + "E21_Person",
-             ref="relations.py:530-537"),
-        Rule(mint("person", "tgt"), RDFS_LABEL, F.col("tlbl"), obj_is_iri=False,
-             lang="en", ref="relations.py:531"),
-        Rule(mint("person", "tgt"), OWL_SAMEAS, wd_entity_uri("tgt"),
-             ref="relations.py:532"),
-    ] + _identifier_rules(mint("person", "tgt"), "tgt")))
+    feat_triple_parts.append(emit_triples(person_nodes, person_node_rules()))
     # person_ref feature node also exists for person-characters
     charp_feats = _attach(char_person_tgts, lab, "tgt", "tlbl")
-    feat_triple_parts.append(emit_triples(charp_feats, [
-        Rule(F.concat(F.lit(SAPPHO + "feature/person_ref/"), "tgt"), RDF_TYPE,
-             INTRO + "INT18_Reference", ref="relations.py:681-683"),
-        Rule(F.concat(F.lit(SAPPHO + "feature/person_ref/"), "tgt"), RDFS_LABEL,
-             F.format_string("Reference to %s (person)", "tlbl"),
-             obj_is_iri=False, lang="en", ref="relations.py:683"),
-    ]))
+    feat_triple_parts.append(emit_triples(charp_feats, charp_feat_rules()))
 
     place_tgts = _attach(
         qfw_all.filter(F.col("family") == "place_ref").select("tgt").distinct(),
         lab, "tgt", "tlbl")
-    feat_triple_parts.append(emit_triples(place_tgts, [
-        Rule(mint("place", "tgt"), RDF_TYPE, ECRM + "E53_Place",
-             ref="relations.py:584-591"),
-        Rule(mint("place", "tgt"), RDFS_LABEL, F.col("tlbl"), obj_is_iri=False,
-             lang="en", ref="relations.py:585"),
-        Rule(mint("place", "tgt"), OWL_SAMEAS, wd_entity_uri("tgt"),
-             ref="relations.py:586"),
-    ] + _identifier_rules(mint("place", "tgt"), "tgt")))
+    feat_triple_parts.append(emit_triples(place_tgts, place_node_rules()))
 
     # work_ref feature nodes — every target, no ≥2 gate (relations.py:641-647)
     workref_tgts = _attach(workref.select("tgt").distinct(), lab, "tgt", "tlbl")
-    feat_triple_parts.append(emit_triples(workref_tgts, [
-        Rule(F.concat(F.lit(SAPPHO + "feature/work_ref/"), "tgt"), RDF_TYPE,
-             INTRO + "INT18_Reference", ref="relations.py:641-644"),
-        Rule(F.concat(F.lit(SAPPHO + "feature/work_ref/"), "tgt"), RDFS_LABEL,
-             F.format_string("Reference to %s (expression)", "tlbl"),
-             obj_is_iri=False, lang="en", ref="relations.py:644"),
-    ]))
+    feat_triple_parts.append(emit_triples(workref_tgts, workref_feat_rules()))
 
     # --- expressions (ensure_expression, relations.py:182-188) ---
     expr_works = (
@@ -602,15 +701,7 @@ def relations_stage(
         .distinct()
     )
     expr_works = _attach(expr_works, lab, "q", "qlbl")
-    expr_triples = emit_triples(expr_works, [
-        Rule(mint("expression", "q"), RDF_TYPE, LRMOO + "F2_Expression",
-             ref="relations.py:184"),
-        Rule(mint("expression", "q"), RDFS_LABEL,
-             F.format_string("Expression of %s", "qlbl"), obj_is_iri=False,
-             lang="en", ref="relations.py:185"),
-        Rule(mint("expression", "q"), OWL_SAMEAS, wd_entity_uri("q"),
-             ref="relations.py:186"),
-    ])
+    expr_triples = emit_triples(expr_works, expr_rules())
 
     # --- citation text passages (relations.py:795-816) ---
     tps = _attach(cite_kept, lab, "src", "slbl")
@@ -619,21 +710,7 @@ def relations_stage(
         "rel",
         F.concat(F.lit(SAPPHO + "relation/"), F.least("src", "tgt"),
                  F.lit("_"), F.greatest("src", "tgt")))
-    tp_rules = []
-    for host, other, hl in [("tgt", "src", "tlbl"), ("src", "tgt", "slbl")]:
-        tp = F.concat(F.lit(SAPPHO + "textpassage/"), F.col(host), F.lit("_"), F.col(other))
-        host_expr = mint("expression", host)
-        tp_rules += [
-            Rule(tp, RDF_TYPE, INTRO + "INT21_TextPassage", ref="relations.py:801"),
-            Rule(tp, RDFS_LABEL, F.format_string("Text passage in %s", hl),
-                 obj_is_iri=False, lang="en", ref="relations.py:802"),
-            Rule(tp, PROV_DERIVED, wd_entity_uri("tgt"), ref="relations.py:803"),
-            Rule(host_expr, INTRO + "R30_hasTextPassage", tp, ref="relations.py:805"),
-            Rule(tp, INTRO + "R30i_isTextPassageOf", host_expr, ref="relations.py:806"),
-            Rule(F.col("rel"), INTRO + "R24_hasRelatedEntity", tp, ref="relations.py:807"),
-            Rule(tp, INTRO + "R24i_isRelatedEntity", F.col("rel"), ref="relations.py:808"),
-        ]
-    tp_triples = emit_triples(tps, tp_rules)
+    tp_triples = emit_triples(tps, tp_rules())
 
     # --- alignment block (relations.py:879-902) ---
     from ..model import const_triples

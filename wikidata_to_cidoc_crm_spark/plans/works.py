@@ -400,6 +400,15 @@ def works_stage(
     dedupe: bool = True,
     broadcast_labels: bool | None = None,
 ) -> DataFrame:
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SQL_STAGES", "1") != "0":
+        from .sql_stages import works_stage_sql
+
+        return works_stage_sql(
+            spark, work_qids, statements, labels,
+            include_header=include_header, dedupe=dedupe,
+            broadcast_labels=broadcast_labels)
     wide = wide_works(work_qids, statements, labels, broadcast_labels)
     triples = emit_triples(wide, work_rules())
     if include_header:
