@@ -234,3 +234,22 @@ def test_simhash_blocking_is_exact(spark):
                   .filter(F.col("hamming") <= 6)
                   .select("a", "b", "hamming").collect()}
     assert blocked == exhaustive and len(exhaustive) > 0
+
+
+def test_minhash_signatures_match_per_seed_spelling(spark):
+    """The aggregate-per-seed signature (r6 shuffle-width rewrite) must be
+    bit-identical to the explicit explode-seeds spelling it replaced."""
+    from wikidata_to_cidoc_crm_spark.operators.dedup import (
+        minhash_signatures, shingles)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = {r["id"]: list(r["sig"])
+           for r in minhash_signatures(docs, num_hashes=8).collect()}
+    sh = shingles(docs, "doc_id", "text", 3)
+    seeded = sh.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"),
+        "shingle").withColumn("h", F.xxhash64("shingle", "seed"))
+    old = {}
+    for r in seeded.groupBy("id", "seed").agg(F.min("h").alias("mh")).collect():
+        old.setdefault(r["id"], [None] * 8)[r["seed"]] = r["mh"]
+    assert new == old and len(new) > 10

@@ -222,19 +222,21 @@ def minhash_signatures(
 
     h_i(s) = xxhash64(s, i); signature = min over shingles per seed — one
     groupBy, all JVM-side.
+
+    Shuffle-width note (guide §2.3): the per-seed minima are ``num_hashes``
+    plain MIN aggregates over the (id, shingle) rows — partial aggregation
+    map-side, ONE row per id crosses the exchange. The previous shape
+    exploded a seed column first (``num_hashes×`` the shuffle rows) and
+    needed a second collect_list aggregation; values are bit-identical
+    (same xxhash64(shingle, seed) minima, array ordered by seed).
     """
     sh = shingles(docs, id_col, text_col, k)
-    seeded = sh.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    ).withColumn("h", F.xxhash64("shingle", "seed"))
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)]
     return (
-        seeded.groupBy("id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_s"))
-        .select("id", F.transform("_s", lambda s: s.mh).alias("sig"))
+        sh.groupBy("id").agg(*aggs)
+        .select("id", F.array(*[F.col(f"_m{i}")
+                                for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -354,26 +356,44 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     Chunk width is ``bits // n_chunks`` — trailing bits beyond
     ``width * n_chunks`` belong to no chunk, which only *adds* candidates
     (diffs there can't break chunk equality), never drops true pairs.
+
+    Shuffle-width note (guide §2.3): the fingerprint is packed into ONE
+    BIGINT (bits ≤ 64 by construction), so the candidate join shuffles
+    8-byte keys/payloads instead of 48-element int arrays, chunk equality
+    is an integer compare (``shiftright(pack) & mask`` — bit-for-bit the
+    same bucket as the old fixed-width string concat), and hamming is
+    ``bit_count(pa XOR pb)`` — identical to the zip_with count over the
+    bit arrays.
     """
     n_chunks = max_hamming + 1
     if n_chunks > bits:
         raise ValueError(f"max_hamming+1={n_chunks} chunks exceed {bits} bits")
+    if bits > 64:
+        raise ValueError(f"bits={bits} exceeds the 64-bit packed fingerprint")
     width = bits // n_chunks
-    sh = simhash(docs, id_col, text_col, bits, hash_mode).cache()
-    chunks = sh.select(
-        "id", "bits",
+    sh = simhash(docs, id_col, text_col, bits, hash_mode)
+    packed = sh.select(
+        "id",
+        F.expr(
+            f"aggregate(zip_with(bits, sequence(0, {bits - 1}), "
+            "(b, i) -> shiftleft(CAST(b AS BIGINT), i)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("pack"),
+    ).cache()
+    mask = (1 << width) - 1
+    chunks = packed.select(
+        "id", "pack",
         F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
-    ).withColumn(
-        "chunk", F.concat_ws("", F.slice("bits", F.col("c") * width + 1, width)))
-    a = chunks.select(F.col("id").alias("a"), F.col("bits").alias("ba"), "c", "chunk")
-    b = chunks.select(F.col("id").alias("b"), F.col("bits").alias("bb"), "c", "chunk")
+    ).withColumn("chunk",
+                 F.expr(f"shiftright(pack, c * {width})").bitwiseAND(F.lit(mask)))
+    a = chunks.select(F.col("id").alias("a"), F.col("pack").alias("pa"), "c", "chunk")
+    b = chunks.select(F.col("id").alias("b"), F.col("pack").alias("pb"), "c", "chunk")
     cand = (
         a.join(b, ["c", "chunk"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ba", "bb")
+        .select("a", "b", "pa", "pb")
         .distinct()
     )
-    hamming = F.size(F.filter(F.zip_with("ba", "bb", lambda x, y: x != y), lambda d: d))
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("a", "b", "hamming")

@@ -323,6 +323,8 @@ def relations_stage_sql(
     from ..oracle_relations import relations_alignment_triples
     from . import relations as R
 
+    from concurrent.futures import ThreadPoolExecutor
+
     lab_bcast = (labels.count() <= R.LABEL_BROADCAST_MAX
                  if broadcast_labels is None else broadcast_labels)
 
@@ -333,14 +335,18 @@ def relations_stage_sql(
 
     # --- checkpointed building blocks (same truncation topology as the
     # DataFrame build: downstream plans stay shallow and each block
-    # materializes exactly once) ---
+    # materializes exactly once). The spark.sql analyses are cheap, but each
+    # lazy checkpoint still pays a JVM physical planning — the independent
+    # blocks build on a small thread pool so those plannings overlap
+    # (JVM-side Catalyst planning of distinct queries is thread-safe). ---
+    pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="relsql-plan")
 
     # label service en→de (relations.py:122-135); canonical (__lk, __lv)
-    lab = spark.sql("""
+    f_lab = pool.submit(lambda: spark.sql("""
 SELECT coalesce(e.qid, d.qid) AS __lk, coalesce(e._en, d._de) AS __lv
 FROM (SELECT qid, label AS _en FROM {labels} WHERE lang = 'en') e
 FULL OUTER JOIN (SELECT qid, label AS _de FROM {labels} WHERE lang = 'de') d
-  ON e.qid = d.qid""", labels=labels).transform(lazy_checkpoint)
+  ON e.qid = d.qid""", labels=labels).transform(lazy_checkpoint))
 
     # canonical membership build side (in_W)
     wb = spark.sql("SELECT DISTINCT qid FROM {w}", w=work_qids) \
@@ -359,8 +365,9 @@ FULL OUTER JOIN (SELECT qid, label AS _de FROM {labels} WHERE lang = 'de') d
         f"('{a}','{fam}')" for fam, ancs in typed_req.items() for a in ancs)
     typed_fams = ",".join(f"'{fam}'" for fam in typed_req)
 
-    # ONE tagged edge table for all six families (single statements scan)
-    fw_all = spark.sql(f"""
+    def _build_fw_chain():
+        # ONE tagged edge table for all six families (single statements scan)
+        fw_all = spark.sql(f"""
 WITH fam_base AS (SELECT * FROM (VALUES {fam_base_rows}) AS fb(family, base)),
 pid_fam AS (
   SELECT DISTINCT pc.pid, fb.family
@@ -395,22 +402,22 @@ SELECT DISTINCT
   CASE WHEN family = 'character_typed' THEN 'character' ELSE family END AS family,
   work, tgt
 FROM (SELECT * FROM fw_typed UNION ALL SELECT * FROM fw_untyped)""",
-                       pc=property_closure, statements=statements,
-                       sc=subclass_closure, wb=wb).transform(lazy_checkpoint)
+                          pc=property_closure, statements=statements,
+                          sc=subclass_closure, wb=wb).transform(lazy_checkpoint)
 
-    # qualifying features: shared by ≥2 works (relations.py:371-372)
-    qfw = spark.sql("""
+        # qualifying features: shared by ≥2 works (relations.py:371-372)
+        qfw = spark.sql("""
 SELECT f.* FROM {fw} f
 LEFT SEMI JOIN (
   SELECT family, tgt FROM {fw} GROUP BY family, tgt
   HAVING count(DISTINCT work) >= 2
 ) q ON f.family = q.family AND f.tgt = q.tgt""", fw=fw_all) \
-        .transform(lazy_checkpoint)
+            .transform(lazy_checkpoint)
 
-    # pairs for all families at once (operators.pairs.pair_join, salted:
-    # salt_partitions=32, heavy_threshold=256 — same constants as the
-    # DataFrame build)
-    pairs = spark.sql("""
+        # pairs for all families at once (operators.pairs.pair_join, salted:
+        # salt_partitions=32, heavy_threshold=256 — same constants as the
+        # DataFrame build)
+        pairs = spark.sql("""
 WITH fw AS (SELECT DISTINCT family, tgt, work AS _w FROM {qfw}),
 counts AS (SELECT family, tgt, count(*) AS _n FROM fw GROUP BY family, tgt),
 heavy_keys AS (SELECT family, tgt FROM counts WHERE _n > 256),
@@ -435,7 +442,10 @@ heavy_pairs AS (
 SELECT family, tgt, w1, w2 FROM light_pairs
 UNION ALL
 SELECT family, tgt, w1, w2 FROM heavy_pairs""", qfw=qfw) \
-        .transform(lazy_checkpoint)
+            .transform(lazy_checkpoint)
+        return qfw, pairs
+
+    f_fw = pool.submit(_build_fw_chain)
 
     def edges_sql(bases: list[str]) -> str:
         bl = ",".join(f"'{b}'" for b in bases)
@@ -451,15 +461,15 @@ SELECT family, tgt, w1, w2 FROM heavy_pairs""", qfw=qfw) \
     kw = dict(statements=statements, pc=property_closure, wb=wb)
 
     # work references (relations.py:616-669): tgt ∈ W too; no ≥2 gate
-    workref = spark.sql(f"""
+    f_workref = pool.submit(lambda: spark.sql(f"""
 WITH ed AS ({edges_sql(["P921"])})
 SELECT /*+ BROADCAST(wb2) */ e.work, e.tgt FROM ed e
 LEFT SEMI JOIN {{wb2}} wb2 ON e.tgt = wb2.qid
-WHERE e.tgt LIKE 'Q%'""", wb2=wb, **kw).transform(lazy_checkpoint)
+WHERE e.tgt LIKE 'Q%'""", wb2=wb, **kw).transform(lazy_checkpoint))
 
     # citations (relations.py:765-818): keep lexicographically smaller
     # directed (src, tgt) per unordered pair
-    cite_kept = spark.sql(f"""
+    f_cite = pool.submit(lambda: spark.sql(f"""
 WITH ed AS ({edges_sql(["P2860", "P6166"])}),
 cd AS (
   SELECT /*+ BROADCAST(wb2) */ e.tgt AS src, e.work AS tgt FROM ed e
@@ -469,11 +479,11 @@ cd AS (
 SELECT _p.src AS src, _p.tgt AS tgt FROM (
   SELECT min(named_struct('src', src, 'tgt', tgt)) AS _p
   FROM cd GROUP BY least(src, tgt), greatest(src, tgt)
-)""", wb2=wb, **kw).transform(lazy_checkpoint)
+)""", wb2=wb, **kw).transform(lazy_checkpoint))
 
     # int31 direct links (relations.py:299-354): forward P4969; reversed
     # P144/P5059/P941
-    int31 = spark.sql(f"""
+    f_int31 = pool.submit(lambda: spark.sql(f"""
 WITH fwd AS ({edges_sql(["P4969"])}),
 bwd AS ({edges_sql(["P144", "P5059", "P941"])})
 SELECT wa, wb FROM (
@@ -482,17 +492,25 @@ SELECT wa, wb FROM (
   UNION ALL
   SELECT /*+ BROADCAST(wbb) */ b.tgt AS wa, b.work AS wb FROM bwd b
   LEFT SEMI JOIN {{wbb}} wbb ON b.tgt = wbb.qid
-) WHERE wa <> wb""", wbf=wb, wbb=wb, **kw).transform(lazy_checkpoint)
+) WHERE wa <> wb""", wbf=wb, wbb=wb, **kw).transform(lazy_checkpoint))
 
     # person-typed entities (typed(("Q5",)) — used by char_p67 and the
     # person-node emissions)
-    charp = spark.sql("""
+    f_charp = pool.submit(lambda: spark.sql("""
 SELECT /*+ BROADCAST(a) */ DISTINCT st.subject_qid AS cq
 FROM {statements} st
 LEFT SEMI JOIN (SELECT qid FROM {sc} WHERE ancestor = 'Q5') a
   ON st.object_value = a.qid
 WHERE st.pid = 'P31'""", statements=statements, sc=subclass_closure) \
-        .transform(lazy_checkpoint)
+        .transform(lazy_checkpoint))
+
+    qfw, pairs = f_fw.result()
+    lab = f_lab.result()
+    workref = f_workref.result()
+    cite_kept = f_cite.result()
+    int31 = f_int31.result()
+    charp = f_charp.result()
+    pool.shutdown(wait=True)
 
     # relation nodes: every pair from every source, canonical + labels
     rels = spark.sql(f"""
