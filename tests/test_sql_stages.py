@@ -100,3 +100,18 @@ def test_triples_to_python_set_guard_raises(spark):
     with pytest.raises(ValueError, match="refusing to collect"):
         triples_to_python_set(big, max_rows=5)
     assert len(triples_to_python_set(big, max_rows=100)) == 10
+
+
+def test_merge_sql_equals_dataframe(spark, dims, world, monkeypatch):
+    from wikidata_to_cidoc_crm_spark.plans.authors import authors_stage
+    from wikidata_to_cidoc_crm_spark.plans.merge import merge_stage
+    from wikidata_to_cidoc_crm_spark.plans.works import works_stage
+
+    pq = _qids(spark, world, "persons")
+    wq = _qids(spark, world, "works")
+    a = authors_stage(spark, pq, dims["wd_statements"], dims["wd_labels"]) \
+        .localCheckpoint(eager=True)
+    w = works_stage(spark, wq, dims["wd_statements"], dims["wd_labels"]) \
+        .localCheckpoint(eager=True)
+    s1, s2 = _both(monkeypatch, lambda: merge_stage(spark, [a, w]))
+    assert s1 == s2 and len(s1) > 100

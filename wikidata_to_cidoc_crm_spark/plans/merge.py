@@ -102,6 +102,13 @@ def merge_stage(spark: SparkSession, graphs: list[DataFrame],
     guaranteed in web-scale graphs, so full-key is the default;
     ``subj-exchange`` is test-only (plan-equality gates + skew probe).
     """
+    import os as _os
+
+    if (strategy == "full-key" and checkpoint
+            and _os.environ.get("SPARK_GRAFT_SQL_STAGES", "1") != "0"):
+        from .sql_stages import merge_stage_sql
+
+        return merge_stage_sql(spark, graphs)
     g = graphs[0]
     for other in graphs[1:]:
         g = g.unionByName(other)

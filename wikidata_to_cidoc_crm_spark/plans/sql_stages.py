@@ -510,10 +510,10 @@ WHERE st.pid = 'P31'""", statements=statements, sc=subclass_closure) \
     cite_kept = f_cite.result()
     int31 = f_int31.result()
     charp = f_charp.result()
-    pool.shutdown(wait=True)
 
     # relation nodes: every pair from every source, canonical + labels
-    rels = spark.sql(f"""
+    def _build_rels():
+        return spark.sql(f"""
 WITH members AS (
   SELECT w1, w2 FROM {{pairs}}
   UNION ALL SELECT wa, wb FROM {{int31}}
@@ -538,11 +538,13 @@ SELECT w1, w2, l1, l2,
   concat('{SAPPHO}relation/', w1, '_', w2) AS rel,
   concat(w1, '_', w2) AS tid
 FROM labeled""", pairs=pairs, int31=int31, workref=workref, cite=cite_kept,
-                     lab=lab).transform(lazy_checkpoint)
+                         lab=lab).transform(lazy_checkpoint)
 
     # actualizations (first_partner over qfw + workref acts), labeled
     fam_prio = " ".join(f"WHEN '{f[0]}' THEN {f[8]}" for f in R.FAMILIES)
-    acts = spark.sql(f"""
+
+    def _build_acts():
+        return spark.sql(f"""
 WITH fw AS (SELECT DISTINCT family, tgt, work FROM {{qfw}}),
 fw2 AS (SELECT *, min(work) OVER (PARTITION BY family, tgt) AS _min FROM fw),
 second AS (
@@ -594,6 +596,12 @@ SELECT *,
   concat('{SAPPHO}relation/', rel_w1, '_', rel_w2) AS rel,
   concat('{SAPPHO}expression/', work) AS expr
 FROM unioned""", qfw=qfw, workref=workref, lab=lab).transform(lazy_checkpoint)
+
+    f_rels = pool.submit(_build_rels)
+    f_acts = pool.submit(_build_acts)
+    rels = f_rels.result()
+    acts = f_acts.result()
+    pool.shutdown(wait=True)
 
     # interpretation candidates with priority rank (relations.py:206-233)
     interp_all = spark.sql("""
@@ -742,3 +750,56 @@ FROM cand""", rels=rels, acts=acts).transform(lazy_checkpoint)
         cite4=cite_kept, lab2=lab, lab3=lab, lab4=lab, lab5=lab, lab6=lab,
         lab7=lab, lab8=lab, lab9=lab,
     )
+
+
+# --------------------------------------------------------------- merge
+
+def merge_stage_sql(spark: SparkSession, graphs: list[DataFrame]) -> DataFrame:
+    """SQL spelling of plans/merge.merge_stage's default path (full-key
+    dedup strategy + lineage checkpoint): one query for union → full-key
+    DISTINCT → label-window dedup, a checkpoint, then one query for the
+    ontology-node rewrite. Plan shape matches the DataFrame build: the
+    dedup exchanges on the full 6-tuple key (skew-immune) and only the
+    label fraction re-shuffles for the window."""
+    from ..model import OWL, RDF_TYPE, RDFS_LABEL, SAPPHO as _SP, LRMOO_ONTO, ECRM, INTRO
+
+    n = len(graphs)
+    union = "\nUNION ALL\n".join(
+        f"SELECT subj, pred, obj, obj_is_iri, lang, dtype FROM {{g{i}}}"
+        for i in range(n))
+    q1 = f"""
+WITH g AS (SELECT DISTINCT * FROM (
+{union}
+)),
+lbl AS (
+  SELECT subj, pred, obj, obj_is_iri, lang, dtype FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY subj
+      ORDER BY (lang IS NULL) ASC, coalesce(lang, '') ASC, obj ASC,
+               coalesce(dtype, '') ASC, obj_is_iri ASC) AS _rn
+    FROM g WHERE pred = '{RDFS_LABEL}'
+  ) WHERE _rn = 1
+)
+SELECT * FROM g WHERE pred <> '{RDFS_LABEL}'
+UNION ALL
+SELECT * FROM lbl"""
+    ck = spark.sql(q1, **{f"g{i}": df for i, df in enumerate(graphs)}) \
+        .transform(lazy_checkpoint)
+
+    onto = _SP + "ontology/all"
+    header = _const_values_sql([
+        (onto, RDF_TYPE, OWL + "Ontology"),
+        (onto, OWL + "imports", ECRM),
+        (onto, OWL + "imports", LRMOO_ONTO),
+        (onto, OWL + "imports", INTRO),
+    ])
+    q2 = f"""
+SELECT /*+ BROADCAST(o) */ k.subj, k.pred, k.obj, k.obj_is_iri, k.lang, k.dtype
+FROM {{ck}} k
+LEFT ANTI JOIN (
+  SELECT DISTINCT subj FROM {{ck2}}
+  WHERE pred = '{RDF_TYPE}' AND obj = '{OWL + "Ontology"}'
+) o ON k.subj = o.subj
+UNION ALL
+{header}"""
+    return spark.sql(q2, ck=ck, ck2=ck)
