@@ -239,3 +239,45 @@ def test_merge_full_key_strategy_matches_and_shuffles_labels_only(
                   if "subj" in ln and "pred" in ln and "obj" in ln]
     assert len(full_graph) >= 1, plan
     assert "REPARTITION_BY_COL" not in plan, plan
+
+
+def test_final_align_stage_plans_adaptive_by_default(spark, monkeypatch):
+    """README invariant (round-5 advice): the pipeline's final align stage
+    executes under AQE by default (its many dimension-sized shuffles rely
+    on runtime coalescing) and goes static under SPARK_GRAFT_FINAL_AQE=0.
+
+    The checkpoint truncates the returned plan to a Scan ExistingRDD, so
+    the AQE-ness is asserted where it is decided: the adaptive conf active
+    at each ``localCheckpoint`` call during the pipeline build. The final
+    (aligned) checkpoint must run with AQE on by default — every
+    lazy_checkpoint scopes it off — and with AQE off under the knob."""
+    import pyspark.sql.classic.dataframe as pdf
+
+    from wikidata_to_cidoc_crm_spark.pipeline import run_pipeline
+
+    seen: list[tuple[bool, str]] = []
+    orig = pdf.DataFrame.localCheckpoint
+
+    def recording(self, eager=True):
+        seen.append((eager,
+                     self.sparkSession.conf.get("spark.sql.adaptive.enabled")))
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(pdf.DataFrame, "localCheckpoint", recording)
+
+    monkeypatch.delenv("SPARK_GRAFT_FINAL_AQE", raising=False)
+    out = run_pipeline(spark, "/root/testdata/sf0.001", check_invariant=False)
+    out._pipeline_runner.wait()
+    lazy_calls = [aqe for eager, aqe in seen if not eager]
+    # the final (aligned) stage's checkpoint is the last non-eager one and
+    # the only one that must execute adaptively; every other stage goes
+    # through lazy_checkpoint's AQE-off window
+    assert lazy_calls and lazy_calls[-1] == "true", seen
+    assert all(v == "false" for v in lazy_calls[:-1]), seen
+
+    seen.clear()
+    monkeypatch.setenv("SPARK_GRAFT_FINAL_AQE", "0")
+    out = run_pipeline(spark, "/root/testdata/sf0.001", check_invariant=False)
+    out._pipeline_runner.wait()
+    lazy_calls = [aqe for eager, aqe in seen if not eager]
+    assert lazy_calls and all(v == "false" for v in lazy_calls), seen

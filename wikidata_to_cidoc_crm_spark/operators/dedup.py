@@ -230,7 +230,11 @@ def minhash_signatures(
     needed a second collect_list aggregation; values are bit-identical
     (same xxhash64(shingle, seed) minima, array ordered by seed).
     """
-    sh = shingles(docs, id_col, text_col, k)
+    return _signatures_from_shingles(shingles(docs, id_col, text_col, k),
+                                     num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_m{i}")
             for i in range(num_hashes)]
     return (
@@ -279,11 +283,14 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
 
     Verification recomputes true shingle-Jaccard only on LSH candidates.
+    One shared cached shingle set feeds BOTH the signature aggregation and
+    the verification joins — previously the signature path re-ran the
+    shingling (explode + distinct shuffle) on its own.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sh = shingles(docs, id_col, text_col, k).cache()
+    sigs = _signatures_from_shingles(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sha = sh.select(F.col("id").alias("a"), "shingle")
     shb = sh.select(F.col("id").alias("b"), "shingle")
