@@ -147,10 +147,16 @@ def authors_stage_sql(
     piv_cols = ",\n    ".join(
         f"min(CASE WHEN pid = '{p}' THEN object_value END) AS {p}"
         for p in AUTHOR_PIDS)
+    # the person-QID side is bounded by the entity dimension (linked_qids
+    # semi-joins against wd_entities), so it broadcasts unconditionally —
+    # same membership-broadcast rule as relations' in_W. This keeps the
+    # statements scan shuffle-free through the semi join.
     query = _wrap(f"""
 WITH stmts AS (
-  SELECT subject_qid, pid, object_value FROM {{statements}}
-  WHERE pid IN ({pin}) AND subject_qid IN (SELECT qid FROM {{persons}})
+  SELECT /*+ BROADCAST(pq) */ subject_qid, pid, object_value
+  FROM {{statements}}
+  LEFT SEMI JOIN {{persons2}} pq ON subject_qid = pq.qid
+  WHERE pid IN ({pin})
 ),
 piv AS (
   SELECT subject_qid AS qid,
@@ -183,7 +189,7 @@ wide AS (
 )
 SELECT {emit} FROM wide""", header, dedupe)
     return spark.sql(query, statements=statements, persons=person_qids,
-                     labels=labels)
+                     persons2=person_qids, labels=labels)
 
 
 # --------------------------------------------------------------- works
@@ -240,10 +246,14 @@ def works_stage_sql(
     else:
         hint = ""
 
+    # work-QID membership broadcasts unconditionally (dimension-bounded,
+    # same rule as relations' in_W) so the statements scan never shuffles
+    # for the semi join — the inlined stmts copies each stay map-side.
     query = _wrap(f"""
 WITH stmts AS (
-  SELECT subject_qid, pid, object_value FROM {{statements}}
-  WHERE subject_qid IN (SELECT qid FROM {{works}})
+  SELECT /*+ BROADCAST(wq) */ subject_qid, pid, object_value
+  FROM {{statements}}
+  LEFT SEMI JOIN {{works2}} wq ON subject_qid = wq.qid
 ),
 title_de AS (SELECT subject_qid AS qid, object_value AS v FROM {{statements}}
              WHERE pid = 'P1476' AND object_lang = 'de'),
@@ -303,7 +313,7 @@ wide2 AS (
 )
 SELECT {emit} FROM wide2""", header, dedupe)
     return spark.sql(query, statements=statements, works=work_qids,
-                     labels=labels)
+                     works2=work_qids, labels=labels)
 
 
 # --------------------------------------------------------------- relations
