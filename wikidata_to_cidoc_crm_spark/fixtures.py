@@ -369,14 +369,25 @@ _DIM_NAMES = ("documents_interleaved", "wd_entities", "wd_statements",
               "wd_external_ids")
 
 
+# bump when the row→DataFrame conversion or the cached table layout
+# changes: the digest must cover the FORMAT, not only the world content,
+# or an old cache dir would silently serve stale-format tables (r5 advice)
+_CACHE_FORMAT_VERSION = 2
+
+
 def _world_digest(w: World) -> str:
     """Content digest of the dimension-relevant world lists — deterministic
     because generation is (pickle preserves the deterministic construction
-    order), so it content-addresses the parquet dimension cache."""
+    order), so it content-addresses the parquet dimension cache. The cache
+    format version and the dimension schemas are folded in so conversion
+    changes invalidate old entries."""
     import hashlib
     import pickle
 
     h = hashlib.blake2b(digest_size=16)
+    h.update(str(_CACHE_FORMAT_VERSION).encode())
+    for schema in (DOC_SCHEMA, ENTITY_SCHEMA, STATEMENT_SCHEMA, LABEL_SCHEMA):
+        h.update(schema.simpleString().encode())
     for part in (w.documents, w.entities, w.statements, w.labels,
                  w.subclass_closure, w.property_closure, w.external_ids):
         h.update(pickle.dumps(part, protocol=4))
@@ -411,8 +422,11 @@ def world_to_spark(spark: SparkSession, w: World,
         cache = env_cache != "0"
     cache_dir = None
     if cache:
+        # default root is per-uid: /tmp is world-writable and the digest is
+        # computable from public code, so a shared path would let another
+        # local user pre-seed a poisoned cache dir (r5 advice)
         root = env_cache if env_cache not in ("", "0", "1") else os.path.join(
-            tempfile.gettempdir(), "wiki2crm_world_cache")
+            tempfile.gettempdir(), f"wiki2crm_world_cache-{os.getuid()}")
         cache_dir = os.path.join(root, _world_digest(w))
         if os.path.exists(os.path.join(cache_dir, "_COMPLETE")):
             return {name: spark.read.parquet(os.path.join(cache_dir, name))
@@ -454,9 +468,12 @@ def world_to_spark(spark: SparkSession, w: World,
     if cache_dir is not None:
         # write-once populate, atomic via tmp-dir rename: a concurrent
         # populater losing the race simply reads the winner's tables
+        import uuid
         from concurrent.futures import ThreadPoolExecutor
 
-        tmp = f"{cache_dir}.tmp{os.getpid()}"
+        # pid + uuid: two populaters in the SAME process must not share a
+        # staging dir either (r5 advice)
+        tmp = f"{cache_dir}.tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
         with ThreadPoolExecutor(max_workers=4, thread_name_prefix="dims") as pool:
             futs = {k: pool.submit(
                 lambda df, p: df.coalesce(1).write.mode("overwrite").parquet(p),
@@ -468,6 +485,14 @@ def world_to_spark(spark: SparkSession, w: World,
             os.rename(tmp, cache_dir)
         except OSError:
             import shutil
+
+            # only treat the failure as "lost the populate race" when a
+            # complete winner actually exists; any other rename failure
+            # (permissions, cross-device root) must not destroy the data —
+            # serve this run from the staging dir instead (r5 advice)
+            if not os.path.exists(os.path.join(cache_dir, "_COMPLETE")):
+                return {name: spark.read.parquet(os.path.join(tmp, name))
+                        for name in _DIM_NAMES}
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         return {name: spark.read.parquet(os.path.join(cache_dir, name))
                 for name in _DIM_NAMES}

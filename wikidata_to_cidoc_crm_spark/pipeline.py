@@ -92,8 +92,10 @@ class StageRunner:
                     fut.result()
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     errors.append(e)
-            if errors:
+            if len(errors) == 1:
                 raise errors[0]
+            if errors:  # surface EVERY root cause, not just the first
+                raise ExceptionGroup("pipelined stage failures", errors)
         finally:
             if self._pool is not None:
                 self._pool.shutdown(wait=True)
@@ -116,8 +118,10 @@ class StageRunner:
                 fut.result()
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 errors.append(e)
-        if errors:
+        if len(errors) == 1:
             raise errors[0]
+        if errors:
+            raise ExceptionGroup("pipelined stage failures", errors)
 
     def run(self, name: str, fingerprint: str, build, lazy: bool = True) -> DataFrame:
         """``lazy=False`` keeps AQE for the stage's checkpoint: under AQE the
