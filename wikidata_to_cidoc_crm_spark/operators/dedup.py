@@ -141,9 +141,20 @@ def jaccard_pairs(
         # the compare quadratic, so fall through to the (equally exact)
         # prefix-filter join instead.
         dm = masks.select("mask", "sz").distinct()
-        if dm.count() > MASK_PAIRS_MAX:
+        ndm = dm.count()
+        if ndm > MASK_PAIRS_MAX:
             return _verify_candidates(cands, toks, sizes, threshold)
-        da = dm.select(F.col("mask").alias("ma"), F.col("sz").alias("sza"))
+        # the all-pairs compare is a broadcast nested-loop whose parallelism
+        # is the STREAMED side's partition count — and AQE coalesces the
+        # tiny distinct output to one partition, serializing ~ndm²/2
+        # popcounts on one core. An explicit repartition(n) (exempt from
+        # AQE coalescing) spreads the quadratic work; n derives from the
+        # measured distinct-mask count, not the local core count.
+        parts = max(1, min(
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+            (ndm + 127) // 128))
+        da = dm.select(F.col("mask").alias("ma"), F.col("sz").alias("sza")) \
+            .repartition(parts)
         db = dm.select(F.col("mask").alias("mb"), F.col("sz").alias("szb"))
         mask_pairs = (
             da.join(F.broadcast(db), F.col("ma") < F.col("mb"))
