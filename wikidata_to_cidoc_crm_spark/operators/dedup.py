@@ -208,15 +208,24 @@ def _verify_candidates(cands: DataFrame, toks: DataFrame, sizes: DataFrame,
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              k: int = 3) -> DataFrame:
     """(id, shingle) distinct k-word shingles, built with a sliding
-    ``transform`` over the token array (no UDF)."""
-    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    n = F.size(toks)
+    ``transform`` over the token array (no UDF).
+
+    The token array is materialized as its own projection FIRST: referencing
+    the tokenize expression directly inside the transform lambda makes
+    codegen re-evaluate it (regexp + split + filter) once per sequence
+    element — O(tokens²) regex work per document (measured ~6 s of the
+    sf0.1 shingle pass; ~10x off). As a column attribute it is computed
+    once per row."""
+    toks_col = F.filter(F.split(normalize_text(text_col), " "),
+                        lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("id"), toks_col.alias("_toks"))
+    n = F.size("_toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k)),
     )
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        base.select("id", F.explode(sh).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
