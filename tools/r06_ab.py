@@ -149,6 +149,50 @@ def ab_relations(spark, sf_dir: str, repeats: int) -> None:
                   f"build {b:.2f}s exec {time.time() - t0:.2f}s")
 
 
+def ab_align(spark, sf_dir: str, repeats: int) -> None:
+    """Fan-out vs per-triple-union align emission: build + exec seconds."""
+    from wikidata_to_cidoc_crm_spark.fixtures import world_to_spark, make_world_scaled
+    from wikidata_to_cidoc_crm_spark.linking import linked_qids
+    from wikidata_to_cidoc_crm_spark.plans.align import align_stage
+    from wikidata_to_cidoc_crm_spark.plans.authors import authors_stage
+    from wikidata_to_cidoc_crm_spark.plans.canonicalize import canonicalize_stage
+    from wikidata_to_cidoc_crm_spark.plans.merge import merge_stage
+    from wikidata_to_cidoc_crm_spark.plans.relations import relations_stage
+    from wikidata_to_cidoc_crm_spark.plans.works import works_stage
+
+    dims, works_q = _pipeline_inputs(spark, sf_dir)
+    from wikidata_to_cidoc_crm_spark.fixtures import interleaved_corpus
+    from wikidata_to_cidoc_crm_spark.linking import detect_mentions
+
+    corpus = interleaved_corpus(
+        spark, f"{sf_dir}/documents.parquet", dims["wd_entities"],
+        mentions_per_doc=3).localCheckpoint(eager=True)
+    mentions = detect_mentions(spark, corpus.select("doc_id", "spans"),
+                               dims["wd_entities"]).localCheckpoint(eager=True)
+    persons_q = linked_qids(mentions, dims["wd_entities"], "person") \
+        .localCheckpoint(eager=True)
+    a = authors_stage(spark, persons_q, dims["wd_statements"], dims["wd_labels"],
+                      dedupe=True, broadcast_labels=True)
+    w = works_stage(spark, works_q, dims["wd_statements"], dims["wd_labels"],
+                    dedupe=True, broadcast_labels=True)
+    r = relations_stage(spark, works_q, dims["wd_statements"], dims["wd_labels"],
+                        dims["wd_subclass_closure"], dims["wd_property_closure"],
+                        dedupe=True, broadcast_labels=True)
+    merged = merge_stage(spark, [a, w, r])
+    canonical = canonicalize_stage(spark, merged).localCheckpoint(eager=True)
+    print(f"canonical rows: {canonical.count()}")
+    for _ in range(repeats):
+        for mode in ("1", "0"):
+            os.environ["SPARK_GRAFT_ALIGN_FANOUT"] = mode
+            t0 = time.time()
+            df = align_stage(spark, canonical, dims["wd_external_ids"])
+            b = time.time() - t0
+            t0 = time.time()
+            noop(df)
+            print(f"align {'FAN' if mode == '1' else 'UNI'}: "
+                  f"build {b:.2f}s exec {time.time() - t0:.2f}s")
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "dedup"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -158,6 +202,8 @@ def main() -> None:
         ab_dedup(spark, sf_dir, repeats)
     elif which == "relations":
         ab_relations(spark, sf_dir, repeats)
+    elif which == "align":
+        ab_align(spark, sf_dir, repeats)
     else:
         raise SystemExit(f"unknown probe: {which}")
 

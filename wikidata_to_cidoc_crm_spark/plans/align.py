@@ -35,6 +35,8 @@ collect): conditional blocks semi-join a broadcast one-row gate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,6 +79,31 @@ def _mk(df: DataFrame, s, pred: str, o) -> DataFrame:
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("string").alias("dtype"),
     )
+
+
+def _triple_struct(s, pred: str, o) -> F.Column:
+    s = F.col(s) if isinstance(s, str) else s
+    o = F.col(o) if isinstance(o, str) else o
+    return F.struct(
+        s.alias("subj"), F.lit(pred).alias("pred"), o.alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("dtype"),
+    )
+
+
+def _fan(df: DataFrame, emits: list[tuple]) -> DataFrame:
+    """Emit several (optionally conditional) triples per source row through
+    ONE ``inline(array_compact(array(...)))`` Generate — the align spelling
+    of ``model.emit_triples``'s fan-out.  ``emits`` rows are
+    ``(cond_or_None, s, pred, o)``; a null condition drops that element via
+    ``array_compact``.  Replaces one union branch (and one re-execution of
+    the shared source subtree) per emitted triple with a single branch."""
+    elems = []
+    for cond, s, pred, o in emits:
+        tr = _triple_struct(s, pred, o)
+        elems.append(tr if cond is None else F.when(cond, tr))
+    return df.select(F.inline(F.array_compact(F.array(*elems))))
 
 
 def align_stage(
@@ -190,6 +217,24 @@ def align_stage(
         (((kind, val),), triples) for kind, val, triples in SKOS_BLOCKS]
 
     parts: list[DataFrame] = []
+
+    # fan-out emission (default): triples that share one source DataFrame
+    # and one presence gate emit through a single inline() branch instead
+    # of one union branch each (~21 → ~11 branches; each dropped branch
+    # cost a scheduled AQE stage wave plus a re-execution of the shared,
+    # un-checkpointed source subtree). SPARK_GRAFT_ALIGN_FANOUT=0 restores
+    # the per-triple union branches for A/B and equality tests.
+    fanout = os.environ.get("SPARK_GRAFT_ALIGN_FANOUT", "1") != "0"
+
+    def emit_group(src: DataFrame, reqs, emits: list[tuple]) -> None:
+        for _c, _s, p, _o in emits:
+            dyn_preds.add(p)
+        if fanout:
+            parts.append(_gated(_fan(src, emits), *reqs))
+        else:
+            for cond, s, p, o in emits:
+                assert cond is None  # legacy spelling has no conditionals
+                parts.append(_gated(_mk(src, s, p, o), *reqs))
 
     # subjects any constant block can emit — a triple of g can only equal
     # a constant-block triple if it shares the subject
@@ -373,26 +418,26 @@ def align_stage(
         .join(rel_exprs.withColumnRenamed("expr", "e2"), "rel")
         .filter(F.col("e1") != F.col("e2"))
     )
-    for part in (
-        mk(pairs, "e1", SP + "expr_relation", "e2"),
-        mk(pairs, "e2", SP + "expr_relation", "e1"),
-        mk(directions, "rel", I + "R13_hasReferringEntity", "younger_expr"),
-        mk(directions, "younger_expr", I + "R13i_isReferringEntity", "rel"),
-        mk(directions, "rel", I + "R12_hasReferredToEntity", "older_expr"),
-        mk(directions, "older_expr", I + "R12i_isReferredToEntity", "rel"),
-    ):
-        parts.append(_gated(part, *_req))
+    emit_group(pairs, _req, [
+        (None, "e1", SP + "expr_relation", "e2"),
+        (None, "e2", SP + "expr_relation", "e1"),
+    ])
+    emit_group(directions, _req, [
+        (None, "rel", I + "R13_hasReferringEntity", "younger_expr"),
+        (None, "younger_expr", I + "R13i_isReferringEntity", "rel"),
+        (None, "rel", I + "R12_hasReferredToEntity", "older_expr"),
+        (None, "older_expr", I + "R12i_isReferredToEntity", "rel"),
+    ])
 
     # expr/tp possibly cites (778-869)
     _req = (("pred", I + "R30i_isTextPassageOf"),)
     _const_blocks.append((_req, POSSIBLY_CITES_DEF))
-    for part in (
-        mk(directions, "younger_expr", SP + "expr_possibly_cites", "older_expr"),
-        mk(directions, "older_expr", SP + "expr_possibly_cited_by", "younger_expr"),
-        mk(directions, "younger_expr", SP + "tp_possibly_cites", "older_tp"),
-        mk(directions, "older_tp", SP + "tp_possibly_cited_by", "younger_expr"),
-    ):
-        parts.append(_gated(part, *_req))
+    emit_group(directions, _req, [
+        (None, "younger_expr", SP + "expr_possibly_cites", "older_expr"),
+        (None, "older_expr", SP + "expr_possibly_cited_by", "younger_expr"),
+        (None, "younger_expr", SP + "tp_possibly_cites", "older_tp"),
+        (None, "older_tp", SP + "tp_possibly_cited_by", "younger_expr"),
+    ])
 
     # expr_references (+ instance-level references_person/place, 870-920);
     # the person/place *definition* blocks never fire (SURVEY §4.4.5)
@@ -407,15 +452,30 @@ def align_stage(
     )
     is_person = typed(E + "E21_Person").withColumnRenamed("e", "target")
     is_place = typed(E + "E53_Place").withColumnRenamed("e", "target")
-    persons = refs.join(is_person, "target", "left_semi")
-    places = refs.join(is_place, "target", "left_semi").join(
-        is_person, "target", "left_anti")  # elif semantics
-    for part in (
-        mk(refs, "expr", SP + "expr_references", "target"),
-        mk(persons, "expr", SP + "references_person", "target"),
-        mk(places, "expr", SP + "references_place", "target"),
-    ):
-        parts.append(_gated(part, *_req))
+    if fanout:
+        # person/place markers as nullable flags (typed sets are distinct,
+        # so the left joins cannot multiply rows); the place condition
+        # reproduces the reference's elif exactly: place AND NOT person
+        flagged = (
+            refs.join(is_person.withColumn("__p", F.lit(True)), "target", "left")
+            .join(is_place.withColumn("__q", F.lit(True)), "target", "left"))
+        emit_group(flagged, _req, [
+            (None, "expr", SP + "expr_references", "target"),
+            (F.coalesce(F.col("__p"), F.lit(False)),
+             "expr", SP + "references_person", "target"),
+            (F.coalesce(F.col("__q"), F.lit(False)) & F.col("__p").isNull(),
+             "expr", SP + "references_place", "target"),
+        ])
+    else:
+        persons = refs.join(is_person, "target", "left_semi")
+        places = refs.join(is_place, "target", "left_semi").join(
+            is_person, "target", "left_anti")  # elif semantics
+        for part in (
+            mk(refs, "expr", SP + "expr_references", "target"),
+            mk(persons, "expr", SP + "references_person", "target"),
+            mk(places, "expr", SP + "references_place", "target"),
+        ):
+            parts.append(_gated(part, *_req))
 
     # has_character (962-991)
     _req = (("class", I + "INT_Character"),)
@@ -427,8 +487,10 @@ def align_stage(
         .join(typed(I + "INT_Character").withColumnRenamed("e", "feat2"),
               F.col("feat") == F.col("feat2"), "left_semi")
     )
-    parts.append(_gated(mk(hops, "s", SP + "has_character", "o"), *_req))
-    parts.append(_gated(mk(hops, "o", SP + "is_character_in", "s"), *_req))
+    emit_group(hops, _req, [
+        (None, "s", SP + "has_character", "o"),
+        (None, "o", SP + "is_character_in", "s"),
+    ])
 
     _flush_consts()
     delta = parts[0]
