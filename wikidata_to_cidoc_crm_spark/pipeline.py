@@ -229,10 +229,18 @@ def run_pipeline(
         dims[name].cache()
     # size the label dimension ONCE per run and hand the broadcast decision
     # to all three mapping stages — three per-stage recounts of the same
-    # cached dimension would serialize with the parallel plan construction
+    # cached dimension would serialize with the parallel plan construction.
+    # The count itself (first action on the cached dim: parquet read + cache
+    # fill, ~1.4 s) is independent of the corpus/mentions builds, so it runs
+    # on a background thread and is resolved only where the mapping stages
+    # need the flag — off the driver's serial critical path.
     from .plans.relations import LABEL_BROADCAST_MAX
 
-    broadcast_labels = dims["wd_labels"].count() <= LABEL_BROADCAST_MAX
+    _label_pool = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="label-count")
+    f_broadcast_labels = _label_pool.submit(
+        lambda: dims["wd_labels"].count() <= LABEL_BROADCAST_MAX)
+    _label_pool.shutdown(wait=False)
 
     corpus = runner.run(
         "corpus", fp,
@@ -270,6 +278,7 @@ def run_pipeline(
     # builds the ~90-rule relations DAG), and multi-threaded plan building
     # against one SparkSession is supported — each thread gets its own
     # py4j connection, analysis is JVM-side and parallel.
+    broadcast_labels = f_broadcast_labels.result()
     with ThreadPoolExecutor(max_workers=3,
                             thread_name_prefix="stage-plan") as plan_pool:
         f_authors = plan_pool.submit(
